@@ -1,0 +1,20 @@
+"""biomedkg_tpu — a TPU-native biomedical knowledge-graph learning framework.
+
+A ground-up JAX/XLA/Pallas rebuild of the capabilities of HySonLab/BioMedKG
+(reference mounted read-only at /root/reference): three-stage multimodal
+biomedical KG link prediction on PrimeKG++ / DrugBank DTI —
+
+  Stage A: language-model modality embeddings per node attribute
+  Stage B: graph contrastive learning (DGI / GRACE / GGD) per node type
+  Stage C: knowledge-graph embedding (RGCN/RGAT encoder + TransE/DistMult/
+           ComplEx/RotatE decoder) trained for link prediction, with DPI
+           fine-tuning and downstream gradient-boosted-tree evaluation.
+
+Design is TPU-first, not a port: static-shape padded subgraph batches,
+relation-sorted edge blocks feeding a Pallas blocked matmul on the MXU,
+on-device negative sampling fused into the scoring kernel, jit-compiled
+train steps, data-parallel + tensor-parallel sharding over a jax Mesh,
+orbax checkpoints and pure-JAX psum-reducible metrics.
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,156 @@
+"""Triplet-scoring decoders: TransE, DistMult, ComplEx, RotatE.
+
+Functional re-designs of /root/reference/biomedkg/model/decoder.py:21-77.
+Each decoder provides:
+
+  * ``init(rng)``                       — relation-embedding parameters
+  * ``score(params, z, head, tail, rel)`` — per-edge scores (fuses with the
+    on-device negative sampler inside the jitted train step; XLA folds the
+    gathers + elementwise math into surrounding kernels)
+  * ``score_all_tails(params, z, head, rel)`` — (E, N) candidate matrix for
+    the filtered-ranking evaluator (eval/ranking.py); expressed as matmuls /
+    broadcasts so it tiles onto the MXU.
+
+ComplEx in the reference is doubly broken (Parameter assigned before
+super().__init__ and a width mismatch, decoder.py:52-77); here it is the
+*intended* model: z split into real/imag halves, relation embeddings of
+matching half-width packed into one (R, d) table so the L2 regularizer
+(kge_module.py:128) sees a single ``rel_emb``. RotatE is an addition the
+reference lacks but its benchmark configs call for.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+from .. import nn
+
+
+class _Decoder:
+    def __init__(self, num_relations: int, hidden_channels: int):
+        self.num_relations = num_relations
+        self.hidden_channels = hidden_channels
+
+    def init(self, rng) -> dict:
+        return {"rel_emb": nn.xavier_uniform(
+            rng, (self.num_relations, self.hidden_channels))}
+
+
+class TransE(_Decoder):
+    """score = -|| L1norm(h) + r - L1norm(t) ||_1 (reference decoder.py:21-38)."""
+
+    def init(self, rng) -> dict:
+        bound = 6.0 / math.sqrt(self.hidden_channels)
+        emb = jax.random.uniform(
+            rng, (self.num_relations, self.hidden_channels),
+            minval=-bound, maxval=bound)
+        emb = emb / jnp.linalg.norm(emb, axis=-1, keepdims=True)
+        return {"rel_emb": emb}
+
+    @staticmethod
+    def _l1_normalize(v):
+        return v / jnp.maximum(jnp.sum(jnp.abs(v), -1, keepdims=True), 1e-12)
+
+    def score(self, params, z, head, tail, rel):
+        h = self._l1_normalize(jnp.take(z, head, axis=0))
+        t = self._l1_normalize(jnp.take(z, tail, axis=0))
+        r = jnp.take(params["rel_emb"], rel, axis=0)
+        return -jnp.sum(jnp.abs(h + r - t), axis=-1)
+
+    def score_all_tails(self, params, z, head, rel):
+        zn = self._l1_normalize(z)                      # (N, d)
+        h = jnp.take(zn, head, axis=0)                  # (E, d)
+        r = jnp.take(params["rel_emb"], rel, axis=0)    # (E, d)
+        hr = (h + r)[:, None, :]                        # (E, 1, d)
+        return -jnp.sum(jnp.abs(hr - zn[None, :, :]), axis=-1)
+
+
+class DistMult(_Decoder):
+    """score = Σ h·r·t (reference decoder.py:41-49)."""
+
+    def score(self, params, z, head, tail, rel):
+        h = jnp.take(z, head, axis=0)
+        t = jnp.take(z, tail, axis=0)
+        r = jnp.take(params["rel_emb"], rel, axis=0)
+        return jnp.sum(h * r * t, axis=-1)
+
+    def score_all_tails(self, params, z, head, rel):
+        h = jnp.take(z, head, axis=0)
+        r = jnp.take(params["rel_emb"], rel, axis=0)
+        return jnp.dot(h * r, z.T, preferred_element_type=jnp.float32)
+
+
+class ComplEx(_Decoder):
+    """Re(<h, r, conj(t)>) with half-width complex embeddings.
+
+    ``rel_emb[:, :d/2]`` is the real part, ``rel_emb[:, d/2:]`` the imaginary
+    part, matching z's chunking (the intent of reference decoder.py:64-77).
+    """
+
+    def _chunk(self, v):
+        half = self.hidden_channels // 2
+        return v[..., :half], v[..., half:]
+
+    def score(self, params, z, head, tail, rel):
+        h_re, h_im = self._chunk(jnp.take(z, head, axis=0))
+        t_re, t_im = self._chunk(jnp.take(z, tail, axis=0))
+        r_re, r_im = self._chunk(jnp.take(params["rel_emb"], rel, axis=0))
+        s = (h_re * r_re - h_im * r_im) * t_re
+        s += (h_re * r_im + h_im * r_re) * t_im
+        return jnp.sum(s, axis=-1)
+
+    def score_all_tails(self, params, z, head, rel):
+        h_re, h_im = self._chunk(jnp.take(z, head, axis=0))
+        r_re, r_im = self._chunk(jnp.take(params["rel_emb"], rel, axis=0))
+        z_re, z_im = self._chunk(z)
+        a = h_re * r_re - h_im * r_im                   # (E, d/2)
+        b = h_re * r_im + h_im * r_re
+        return (jnp.dot(a, z_re.T, preferred_element_type=jnp.float32)
+                + jnp.dot(b, z_im.T, preferred_element_type=jnp.float32))
+
+
+class RotatE(_Decoder):
+    """gamma - || h ∘ e^{iθ_r} - t ||_2 over half-width complex pairs.
+
+    Not in the reference repo; required by its benchmark suite
+    (BASELINE.json config "RGCN/GAT encoder + RotatE decoder").
+    """
+
+    def __init__(self, num_relations: int, hidden_channels: int,
+                 gamma: float = 12.0):
+        super().__init__(num_relations, hidden_channels)
+        self.gamma = gamma
+
+    def init(self, rng) -> dict:
+        half = self.hidden_channels // 2
+        phases = jax.random.uniform(rng, (self.num_relations, half),
+                                    minval=-math.pi, maxval=math.pi)
+        return {"rel_emb": phases}
+
+    def _chunk(self, v):
+        half = self.hidden_channels // 2
+        return v[..., :half], v[..., half:]
+
+    def _rotated(self, params, z, head, rel):
+        h_re, h_im = self._chunk(jnp.take(z, head, axis=0))
+        theta = jnp.take(params["rel_emb"], rel, axis=0)
+        c, s = jnp.cos(theta), jnp.sin(theta)
+        return h_re * c - h_im * s, h_re * s + h_im * c
+
+    def score(self, params, z, head, tail, rel):
+        rot_re, rot_im = self._rotated(params, z, head, rel)
+        t_re, t_im = self._chunk(jnp.take(z, tail, axis=0))
+        dist = jnp.sqrt(jnp.maximum(
+            (rot_re - t_re) ** 2 + (rot_im - t_im) ** 2, 1e-12))
+        return self.gamma - jnp.sum(dist, axis=-1)
+
+    def score_all_tails(self, params, z, head, rel):
+        rot_re, rot_im = self._rotated(params, z, head, rel)
+        z_re, z_im = self._chunk(z)
+        d_re = rot_re[:, None, :] - z_re[None, :, :]
+        d_im = rot_im[:, None, :] - z_im[None, :, :]
+        dist = jnp.sqrt(jnp.maximum(d_re ** 2 + d_im ** 2, 1e-12))
+        return self.gamma - jnp.sum(dist, axis=-1)

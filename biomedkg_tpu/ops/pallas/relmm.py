@@ -1,0 +1,103 @@
+"""Pallas TPU kernel: relation-blocked ragged matmul (grouped GEMM).
+
+The RGCN hot loop transforms each edge message by its relation's weight
+matrix: ``out[e] = msg[e] @ W[edge_type[e]]``. The reference leaves this to
+PyG's RGCNConv (torch-scatter CUDA kernels, /root/reference/biomedkg/model/
+encoder.py:50-59). A naive TPU lowering either materializes (E, din, dout)
+or loops a masked matmul over relations — both waste MXU cycles.
+
+TPU-first design: the host sampler emits edges **sorted by relation**, with
+each relation segment padded so that every ``block_size``-edge block is
+single-relation. A scalar-prefetched ``block_rel`` array then lets the
+BlockSpec index map stream exactly one (din, dout) weight tile per block from
+HBM while the MXU runs dense (block_size, din) @ (din, dout) matmuls —
+speed-of-light for this op: FLOPs = E·din·dout with no relation loop.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DEFAULT_BLOCK = 256
+
+
+def _fwd_kernel(block_rel_ref, msg_ref, w_ref, out_ref):
+    del block_rel_ref  # consumed by the index maps
+    out_ref[:] = jnp.dot(
+        msg_ref[:], w_ref[0], preferred_element_type=jnp.float32
+    ).astype(out_ref.dtype)
+
+
+def _relmm_pallas(msg: jax.Array, weights: jax.Array, block_rel: jax.Array,
+                  block_size: int) -> jax.Array:
+    num_blocks = msg.shape[0] // block_size
+    din, dout = weights.shape[1], weights.shape[2]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(num_blocks,),
+        in_specs=[
+            pl.BlockSpec((block_size, din), lambda i, br: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, din, dout), lambda i, br: (br[i], 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_size, dout), lambda i, br: (i, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        _fwd_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((msg.shape[0], dout), msg.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * msg.shape[0] * din * dout,
+            bytes_accessed=msg.size * 4 + num_blocks * din * dout * 4
+            + msg.shape[0] * dout * 4,
+            transcendentals=0,
+        ),
+    )(block_rel, msg, weights)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def relation_matmul_sorted(msg: jax.Array, weights: jax.Array,
+                           block_rel: jax.Array,
+                           block_size: int = DEFAULT_BLOCK) -> jax.Array:
+    """``out[e] = msg[e] @ weights[rel(e)]`` for relation-sorted edge blocks.
+
+    Args:
+      msg: (E_pad, din) edge messages; E_pad a multiple of ``block_size`` and
+        every block single-relation (padding rows must be zero so that weight
+        gradients stay exact).
+      weights: (R, din, dout) per-relation weights.
+      block_rel: (E_pad // block_size,) int32 relation id of each block.
+    """
+    return _relmm_pallas(msg, weights, block_rel, block_size)
+
+
+def _relmm_fwd(msg, weights, block_rel, block_size):
+    return _relmm_pallas(msg, weights, block_rel, block_size), (
+        msg, weights, block_rel)
+
+
+def _relmm_bwd(block_size, residuals, g):
+    msg, weights, block_rel = residuals
+    # d_msg[e] = g[e] @ W[rel(e)]^T — same kernel, transposed weights.
+    wt = jnp.swapaxes(weights, 1, 2)
+    d_msg = _relmm_pallas(g, wt, block_rel, block_size)
+    # dW[r] = sum over blocks of relation r of msg_b^T @ g_b.
+    num_blocks = msg.shape[0] // block_size
+    msg_b = msg.reshape(num_blocks, block_size, msg.shape[1])
+    g_b = g.reshape(num_blocks, block_size, g.shape[1])
+    per_block = jnp.einsum(
+        "bki,bkj->bij", msg_b, g_b, preferred_element_type=jnp.float32
+    )
+    d_w = jax.ops.segment_sum(per_block, block_rel,
+                              num_segments=weights.shape[0])
+    return d_msg, d_w.astype(weights.dtype), None
+
+
+relation_matmul_sorted.defvjp(_relmm_fwd, _relmm_bwd)

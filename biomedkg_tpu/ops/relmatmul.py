@@ -1,0 +1,63 @@
+"""Per-relation message transform with automatic backend dispatch.
+
+``relation_matmul(msg, weights, edge_type)`` computes
+``out[e] = msg[e] @ weights[edge_type[e]]`` — the core of every relational
+GNN layer (reference RGCNConv/RGATConv backends, encoder.py:6-121).
+
+Backends:
+  * ``pallas`` — relation-sorted blocked grouped-GEMM on the MXU
+    (see ops/pallas/relmm.py); requires ``block_rel`` metadata produced by
+    the samplers and a TPU backend.
+  * ``scan``   — masked per-relation dense matmuls via lax.scan; runs
+    anywhere (CPU test meshes, interpret mode) and is exact.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from .pallas.relmm import relation_matmul_sorted
+
+
+def _relmm_scan(msg: jax.Array, weights: jax.Array,
+                edge_type: jax.Array) -> jax.Array:
+    """Fallback: accumulate masked dense matmuls over the relation axis."""
+    def body(acc, r_and_w):
+        r, w = r_and_w
+        contrib = jnp.dot(msg, w, preferred_element_type=jnp.float32)
+        acc = acc + jnp.where((edge_type == r)[:, None], contrib, 0.0)
+        return acc, None
+
+    num_rel = weights.shape[0]
+    init = jnp.zeros((msg.shape[0], weights.shape[2]), jnp.float32)
+    out, _ = jax.lax.scan(
+        body, init, (jnp.arange(num_rel, dtype=edge_type.dtype), weights)
+    )
+    return out.astype(msg.dtype)
+
+
+def relation_matmul(
+    msg: jax.Array,
+    weights: jax.Array,
+    edge_type: jax.Array,
+    block_rel: Optional[jax.Array] = None,
+    block_size: int = 256,
+    impl: str = "auto",
+) -> jax.Array:
+    """Dispatch to the best available backend.
+
+    ``block_rel`` is the per-block relation id for relation-sorted padded
+    batches (None → the edges are not relation-block aligned and the scan
+    path is used).
+    """
+    if impl == "auto":
+        on_tpu = jax.default_backend() == "tpu"
+        impl = "pallas" if (block_rel is not None and on_tpu) else "scan"
+    if impl == "pallas":
+        if block_rel is None:
+            raise ValueError("pallas relation_matmul requires block_rel metadata")
+        return relation_matmul_sorted(msg, weights, block_rel, block_size)
+    return _relmm_scan(msg, weights, edge_type)

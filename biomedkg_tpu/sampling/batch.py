@@ -1,0 +1,151 @@
+"""Static-shape padded subgraph batches.
+
+The reference streams variable-size PyG ``Data`` objects out of C++ samplers
+(NeighborLoader / GraphSAINTRandomWalkSampler, /root/reference/biomedkg/
+data_module.py:71-145). Variable shapes force an XLA recompile per step, so
+this framework fixes a (node_budget, edge_budget) envelope per loader and
+pads:
+
+  * nodes: real nodes first, zero rows after; the **last** slot is a reserved
+    dummy node that padding edges point at.
+  * edges: sorted by relation; every relation segment is padded to a multiple
+    of ``block_size`` so each block is single-relation — the contract of the
+    Pallas grouped-GEMM (ops/pallas/relmm.py). ``block_rel`` records each
+    block's relation id. ``edge_mask`` marks real edges.
+
+One jit-compiled train step therefore serves every batch of a run.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import numpy as np
+
+
+class GraphBatch(NamedTuple):
+    """Device-ready padded subgraph. All arrays have static shapes."""
+
+    x: np.ndarray            # (N_pad, D) or (N_pad, M, D) node features
+    edge_index: np.ndarray   # (2, E_pad) int32, relation-sorted
+    edge_type: np.ndarray    # (E_pad,) int32
+    node_mask: np.ndarray    # (N_pad,) bool — real nodes
+    edge_mask: np.ndarray    # (E_pad,) bool — real edges
+    block_rel: np.ndarray    # (E_pad // block_size,) int32
+    num_seed: np.ndarray     # () int32 — seed nodes occupy rows [0, num_seed)
+
+    @property
+    def num_nodes(self) -> int:
+        return self.x.shape[0]
+
+    @property
+    def num_edges(self) -> int:
+        return self.edge_index.shape[1]
+
+
+def pad_graph_batch(
+    x: np.ndarray,
+    edge_index: np.ndarray,
+    edge_type: np.ndarray,
+    num_relations: int,
+    node_budget: int,
+    edge_budget: int,
+    block_size: int = 256,
+    num_seed: Optional[int] = None,
+    rng: Optional[np.random.Generator] = None,
+) -> GraphBatch:
+    """Pack a variable-size subgraph into a fixed envelope.
+
+    ``edge_budget`` must be a multiple of ``block_size``. If the
+    relation-block-padded edge count exceeds the budget, a uniform random
+    subset of real edges is dropped (masked estimators stay unbiased); the
+    drop is logged by the calling loader.
+    """
+    assert edge_budget % block_size == 0, "edge budget must align to blocks"
+    num_nodes = x.shape[0]
+    if num_nodes > node_budget - 1:
+        raise ValueError(
+            f"subgraph has {num_nodes} nodes > budget {node_budget} - 1 dummy"
+        )
+
+    edge_index = np.asarray(edge_index, dtype=np.int32)
+    edge_type = np.asarray(edge_type, dtype=np.int32)
+    num_edges = edge_type.shape[0]
+
+    # Drop overflow edges up front (conservative: worst-case per-relation
+    # padding adds < num_relations * block_size).
+    counts = np.bincount(edge_type, minlength=num_relations)
+    padded_total = int(np.sum((counts + block_size - 1) // block_size) * block_size)
+    if padded_total > edge_budget:
+        keep = num_edges - (padded_total - edge_budget)
+        # Shrink until the padded total fits.
+        rng = rng or np.random.default_rng(0)
+        perm = rng.permutation(num_edges)
+        while keep > 0:
+            sel = perm[:keep]
+            counts = np.bincount(edge_type[sel], minlength=num_relations)
+            padded_total = int(
+                np.sum((counts + block_size - 1) // block_size) * block_size
+            )
+            if padded_total <= edge_budget:
+                break
+            keep -= max(1, padded_total - edge_budget)
+        sel = perm[:max(keep, 0)]
+        edge_index = edge_index[:, sel]
+        edge_type = edge_type[sel]
+        num_edges = edge_type.shape[0]
+        counts = np.bincount(edge_type, minlength=num_relations)
+
+    # Relation-sorted placement with per-segment block padding.
+    order = np.argsort(edge_type, kind="stable")
+    seg_sizes = counts
+    seg_padded = ((seg_sizes + block_size - 1) // block_size) * block_size
+    seg_offsets = np.concatenate([[0], np.cumsum(seg_padded)[:-1]])
+
+    dummy = node_budget - 1
+    ei = np.full((2, edge_budget), dummy, dtype=np.int32)
+    et = np.zeros(edge_budget, dtype=np.int32)
+    emask = np.zeros(edge_budget, dtype=bool)
+    block_rel = np.zeros(edge_budget // block_size, dtype=np.int32)
+
+    sorted_src = edge_index[0, order]
+    sorted_dst = edge_index[1, order]
+    sorted_type = edge_type[order]
+    # Position of each sorted edge inside the padded layout.
+    within = np.arange(num_edges) - np.repeat(
+        np.concatenate([[0], np.cumsum(seg_sizes)[:-1]]), seg_sizes
+    )
+    pos = np.repeat(seg_offsets, seg_sizes) + within
+    ei[0, pos] = sorted_src
+    ei[1, pos] = sorted_dst
+    et[pos] = sorted_type
+    emask[pos] = True
+
+    for r in range(num_relations):
+        if seg_padded[r] == 0:
+            continue
+        b0 = seg_offsets[r] // block_size
+        nb = seg_padded[r] // block_size
+        block_rel[b0 : b0 + nb] = r
+        # Padding rows inside a relation segment keep that relation's id so
+        # the block stays single-relation (they remain masked + dummy-node).
+        et[seg_offsets[r] : seg_offsets[r] + seg_padded[r]][
+            ~emask[seg_offsets[r] : seg_offsets[r] + seg_padded[r]]
+        ] = r
+
+    # Node padding: zero feature rows; last row is the dummy sink.
+    feat_shape = (node_budget,) + x.shape[1:]
+    xp = np.zeros(feat_shape, dtype=np.float32)
+    xp[:num_nodes] = x
+    nmask = np.zeros(node_budget, dtype=bool)
+    nmask[:num_nodes] = True
+
+    return GraphBatch(
+        x=xp,
+        edge_index=ei,
+        edge_type=et,
+        node_mask=nmask,
+        edge_mask=emask,
+        block_rel=block_rel,
+        num_seed=np.int32(num_seed if num_seed is not None else num_nodes),
+    )

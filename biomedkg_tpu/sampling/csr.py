@@ -1,0 +1,96 @@
+"""Host-side CSR graph structure feeding the static-shape samplers.
+
+Replaces the reference's dependence on PyG's C++ samplers
+(torch-sparse/torch-cluster backing NeighborLoader and
+GraphSAINTRandomWalkSampler, /root/reference/biomedkg/data_module.py:71-145).
+Everything here is vectorized numpy over CSR slices — O(Σ deg(batch-nodes))
+per batch, not O(E) — and a drop-in C++ backend can accelerate the same
+interfaces (sampling/native/).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+
+
+def ranges_concat(starts: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """Concatenate [starts[i], starts[i]+counts[i]) index ranges, vectorized."""
+    total = int(counts.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    out = np.ones(total, dtype=np.int64)
+    cum = np.cumsum(counts)
+    out[0] = starts[0]
+    nz = counts > 0
+    # positions where a new range begins (after the first)
+    first_pos = np.concatenate([[0], cum[:-1]])
+    prev_end_value = np.concatenate([[0], (starts + counts)[:-1]])
+    corrections = starts - prev_end_value + 1
+    idx = first_pos[nz][1:] if nz[0] else first_pos[nz]
+    corr = corrections[nz][1:] if nz[0] else corrections[nz]
+    out[idx] = corr
+    return np.cumsum(out)
+
+
+@dataclass
+class CSRGraph:
+    """A homogeneous multi-relational graph in CSR form (host memory)."""
+
+    num_nodes: int
+    edge_index: np.ndarray          # (2, E) int32/int64
+    edge_type: np.ndarray           # (E,) int32
+    num_relations: int
+    x: Optional[np.ndarray] = None  # (N, D) or (N, M, D) node features
+
+    _out: Optional[tuple] = field(default=None, repr=False)
+    _in: Optional[tuple] = field(default=None, repr=False)
+
+    @property
+    def num_edges(self) -> int:
+        return self.edge_index.shape[1]
+
+    def _build(self, key_row: np.ndarray, other: np.ndarray):
+        order = np.argsort(key_row, kind="stable")
+        sorted_key = key_row[order]
+        indptr = np.zeros(self.num_nodes + 1, dtype=np.int64)
+        np.add.at(indptr, sorted_key + 1, 1)
+        indptr = np.cumsum(indptr)
+        return indptr, other[order].astype(np.int64), \
+            self.edge_type[order].astype(np.int32), order
+
+    def out_csr(self):
+        """(indptr, neighbors, etypes, edge_perm) keyed by source node."""
+        if self._out is None:
+            self._out = self._build(self.edge_index[0], self.edge_index[1])
+        return self._out
+
+    def in_csr(self):
+        """(indptr, neighbors, etypes, edge_perm) keyed by destination node."""
+        if self._in is None:
+            self._in = self._build(self.edge_index[1], self.edge_index[0])
+        return self._in
+
+    def induced_subgraph(self, nodes: np.ndarray):
+        """Edges with both endpoints in ``nodes``, relabelled to [0, |nodes|).
+
+        ``nodes`` must be unique. Cost O(Σ deg_out(nodes)) via CSR slices —
+        the same trick PyG's C++ saint_subgraph uses.
+        """
+        indptr, nbr, etypes, _ = self.out_csr()
+        nodes = np.asarray(nodes, dtype=np.int64)
+        starts = indptr[nodes]
+        counts = indptr[nodes + 1] - starts
+        pos = ranges_concat(starts, counts)
+        src_rep = np.repeat(np.arange(len(nodes)), counts)  # local src ids
+        dst_all = nbr[pos]
+        et_all = etypes[pos]
+
+        lookup = np.full(self.num_nodes, -1, dtype=np.int64)
+        lookup[nodes] = np.arange(len(nodes))
+        dst_local = lookup[dst_all]
+        keep = dst_local >= 0
+        ei = np.stack([src_rep[keep], dst_local[keep]]).astype(np.int32)
+        return ei, et_all[keep]

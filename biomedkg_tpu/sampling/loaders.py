@@ -1,0 +1,106 @@
+"""Loader front-end mirroring the reference data_module loader surface.
+
+Maps the reference's four loader kinds (data_module.py:71-145) onto the
+static-shape samplers:
+
+  * ``train/val/test_dataloader(loader_type="saint")``  → SaintRandomWalkLoader
+  * ``train/val/test_dataloader(loader_type="neighbor")`` → NeighborBatchLoader
+  * ``all_dataloader()``       → NeighborBatchLoader([30,30,30])
+  * ``subgraph_dataloader()``  → FullGraphLoader — the reference runs one
+    NeighborLoader batch **per node** for embedding export (node.py:229-238,
+    the slowest offline path, SURVEY §3.4); on TPU a single padded full-graph
+    forward replaces it.
+
+A double-buffering prefetch thread keeps host sampling off the device
+critical path.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterable, Iterator
+
+from .batch import GraphBatch, pad_graph_batch
+from .csr import CSRGraph
+from .neighbor import NeighborBatchLoader
+from .saint import SaintRandomWalkSampler, _round_up
+
+
+class SaintRandomWalkLoader(SaintRandomWalkSampler):
+    """Alias with loader naming (one epoch = num_steps batches)."""
+
+
+class FullGraphLoader:
+    """Single padded batch containing the entire graph."""
+
+    def __init__(self, graph: CSRGraph, block_size: int = 256):
+        self.graph = graph
+        self.block_size = block_size
+        self._batch = None
+
+    def batch(self) -> GraphBatch:
+        if self._batch is None:
+            g = self.graph
+            import numpy as np
+
+            counts = np.bincount(g.edge_type, minlength=g.num_relations)
+            edge_budget = int(np.sum(
+                (counts + self.block_size - 1) // self.block_size
+            ) * self.block_size)
+            edge_budget = max(edge_budget, self.block_size)
+            x = g.x if g.x is not None else np.zeros((g.num_nodes, 1),
+                                                     np.float32)
+            self._batch = pad_graph_batch(
+                x, g.edge_index, g.edge_type, num_relations=g.num_relations,
+                node_budget=_round_up(g.num_nodes + 1, 128),
+                edge_budget=edge_budget, block_size=self.block_size,
+                num_seed=g.num_nodes)
+        return self._batch
+
+    def __iter__(self):
+        yield self.batch()
+
+    def __len__(self):
+        return 1
+
+
+def make_loader(graph: CSRGraph, loader_type: str, batch_size: int,
+                num_steps: int = 1000, shuffle: bool = False,
+                seed: int = 0, block_size: int = 256):
+    """Reference loader_type dispatch (data_module.py:89-145)."""
+    if loader_type == "saint":
+        return SaintRandomWalkLoader(
+            graph, batch_size=batch_size, walk_length=10,
+            num_steps=num_steps, block_size=block_size, seed=seed)
+    if loader_type == "neighbor":
+        return NeighborBatchLoader(
+            graph, batch_size=batch_size, fanouts=[30, 30, 30],
+            shuffle=shuffle, block_size=block_size, seed=seed)
+    raise ValueError(f"Unknown loader_type: {loader_type!r}")
+
+
+def prefetch(iterable: Iterable, size: int = 2) -> Iterator:
+    """Run an iterator in a background thread with a bounded queue."""
+    q: queue.Queue = queue.Queue(maxsize=size)
+    sentinel = object()
+    error: list = []
+
+    def worker():
+        try:
+            for item in iterable:
+                q.put(item)
+        except BaseException as e:  # propagate to consumer
+            error.append(e)
+        finally:
+            q.put(sentinel)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            if error:
+                raise error[0]
+            return
+        yield item

@@ -1,0 +1,97 @@
+"""GraphSAINT random-walk sampling → fixed-envelope padded batches.
+
+Semantics follow PyG's GraphSAINTRandomWalkSampler as used by the reference
+(data_module.py:100-107: batch_size roots, walk_length=10, num_steps=1000
+train / 100 eval, no sample_coverage normalization): uniform roots with
+replacement, walks over out-neighbors (dead ends stay in place), node set =
+unique visited nodes, induced subgraph.
+
+TPU-first difference: each batch is emitted as a relation-block-aligned
+GraphBatch (sampling/batch.py) so a single compiled step serves the run.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .batch import GraphBatch, pad_graph_batch
+from .csr import CSRGraph
+
+
+def random_walk(graph: CSRGraph, roots: np.ndarray, walk_length: int,
+                rng: np.random.Generator) -> np.ndarray:
+    """(B, walk_length+1) visited-node matrix; dead ends repeat the node."""
+    indptr, nbr, _, _ = graph.out_csr()
+    walks = np.empty((len(roots), walk_length + 1), dtype=np.int64)
+    walks[:, 0] = roots
+    cur = roots.astype(np.int64)
+    for step in range(walk_length):
+        starts = indptr[cur]
+        deg = indptr[cur + 1] - starts
+        offs = (rng.random(len(cur)) * np.maximum(deg, 1)).astype(np.int64)
+        nxt = nbr[starts + np.minimum(offs, np.maximum(deg - 1, 0))]
+        cur = np.where(deg > 0, nxt, cur)
+        walks[:, step + 1] = cur
+    return walks
+
+
+class SaintRandomWalkSampler:
+    def __init__(self, graph: CSRGraph, batch_size: int, walk_length: int,
+                 num_steps: int, block_size: int = 256,
+                 seed: int = 0, edge_budget: int | None = None,
+                 node_budget: int | None = None):
+        self.graph = graph
+        self.batch_size = batch_size
+        self.walk_length = walk_length
+        self.num_steps = num_steps
+        self.block_size = block_size
+        self.rng = np.random.default_rng(seed)
+        self.dropped_edges = 0
+
+        max_nodes = batch_size * (walk_length + 1) + 1
+        self.node_budget = node_budget or _round_up(max_nodes, 128)
+        self.edge_budget = edge_budget or self._probe_edge_budget(seed)
+
+    def _probe_edge_budget(self, seed: int, probes: int = 8) -> int:
+        """Estimate the padded edge envelope from a few probe batches."""
+        rng = np.random.default_rng(seed + 104729)
+        worst = self.block_size
+        for _ in range(probes):
+            nodes, ei, et = self._sample_raw(rng)
+            counts = np.bincount(et, minlength=self.graph.num_relations)
+            padded = int(np.sum(
+                (counts + self.block_size - 1) // self.block_size
+            ) * self.block_size)
+            worst = max(worst, padded)
+        return _round_up(int(worst * 1.5), self.block_size)
+
+    def _sample_raw(self, rng: np.random.Generator):
+        roots = rng.integers(0, self.graph.num_nodes, self.batch_size)
+        walks = random_walk(self.graph, roots, self.walk_length, rng)
+        nodes = np.unique(walks)
+        ei, et = self.graph.induced_subgraph(nodes)
+        return nodes, ei, et
+
+    def sample(self) -> tuple[GraphBatch, np.ndarray]:
+        """One SAINT batch; returns (padded batch, global node ids)."""
+        nodes, ei, et = self._sample_raw(self.rng)
+        x = self.graph.x[nodes] if self.graph.x is not None else \
+            np.zeros((len(nodes), 1), np.float32)
+        before = et.shape[0]
+        batch = pad_graph_batch(
+            x, ei, et, num_relations=self.graph.num_relations,
+            node_budget=self.node_budget, edge_budget=self.edge_budget,
+            block_size=self.block_size, num_seed=len(nodes), rng=self.rng)
+        self.dropped_edges += before - int(batch.edge_mask.sum())
+        return batch, nodes
+
+    def __iter__(self):
+        for _ in range(self.num_steps):
+            yield self.sample()[0]
+
+    def __len__(self):
+        return self.num_steps
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m

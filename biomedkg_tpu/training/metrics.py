@@ -1,0 +1,181 @@
+"""Evaluation metrics: AUROC / AveragePrecision / F1 with bootstrap CIs,
+plus per-relation EdgeWisePrecision.
+
+Parity targets: torchmetrics BootStrapper-wrapped MetricCollection
+(/root/reference/biomedkg/kge_module.py:63-74; defaults: 10 poisson-weighted
+resamples, mean+std) and EdgeWisePrecision
+(/root/reference/biomedkg/utils/metrics.py:5-39 — note it thresholds the
+*raw* scores at 0.5, a reference quirk kept for parity).
+
+Design: predictions/targets accumulate on host across eval steps (the eval
+set is bounded: 100 SAINT batches); all metrics are weighted-count
+implementations so a single code path serves both the plain value and the
+poisson-bootstrap resamples. EdgeWisePrecision keeps two (num_relations,)
+count vectors — a psum-reducible state mirroring torchmetrics'
+``dist_reduce_fx="sum"`` for multi-host eval.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import numpy as np
+
+
+def _sigmoid(x: np.ndarray) -> np.ndarray:
+    return 1.0 / (1.0 + np.exp(-x))
+
+
+def _as_probs(preds: np.ndarray) -> np.ndarray:
+    """torchmetrics semantics: inputs outside [0,1] are logits → sigmoid."""
+    if preds.size and (preds.min() < 0 or preds.max() > 1):
+        return _sigmoid(preds)
+    return preds
+
+
+def binary_auroc(preds: np.ndarray, target: np.ndarray,
+                 weights: Optional[np.ndarray] = None) -> float:
+    """Weighted AUROC = P(s_pos > s_neg) + 0.5 P(s_pos = s_neg)."""
+    w = np.ones_like(preds, dtype=np.float64) if weights is None else weights
+    pos = target > 0.5
+    order = np.argsort(preds, kind="stable")
+    s, p, wt = preds[order], pos[order], w[order]
+    w_pos = np.where(p, wt, 0.0)
+    w_neg = np.where(p, 0.0, wt)
+    # group ties
+    boundaries = np.concatenate([[True], s[1:] != s[:-1]])
+    group_id = np.cumsum(boundaries) - 1
+    n_groups = group_id[-1] + 1 if len(s) else 0
+    gp = np.bincount(group_id, weights=w_pos, minlength=n_groups)
+    gn = np.bincount(group_id, weights=w_neg, minlength=n_groups)
+    cum_neg_below = np.concatenate([[0.0], np.cumsum(gn)[:-1]])
+    num = np.sum(gp * (cum_neg_below + 0.5 * gn))
+    denom = np.sum(w_pos) * np.sum(w_neg)
+    return float(num / denom) if denom > 0 else 0.5
+
+
+def binary_average_precision(preds: np.ndarray, target: np.ndarray,
+                             weights: Optional[np.ndarray] = None) -> float:
+    """Weighted AP = Σ (R_n − R_{n−1}) P_n over descending-score thresholds."""
+    w = np.ones_like(preds, dtype=np.float64) if weights is None else weights
+    order = np.argsort(-preds, kind="stable")
+    s, t, wt = preds[order], target[order] > 0.5, w[order]
+    tp = np.cumsum(np.where(t, wt, 0.0))
+    fp = np.cumsum(np.where(t, 0.0, wt))
+    # only evaluate at the last index of each tied-score group
+    is_last = np.concatenate([s[1:] != s[:-1], [True]])
+    tp, fp = tp[is_last], fp[is_last]
+    total_pos = tp[-1] if len(tp) else 0.0
+    if total_pos == 0:
+        return 0.0
+    recall = tp / total_pos
+    precision = tp / np.maximum(tp + fp, 1e-12)
+    prev_recall = np.concatenate([[0.0], recall[:-1]])
+    return float(np.sum((recall - prev_recall) * precision))
+
+
+def binary_f1(preds: np.ndarray, target: np.ndarray,
+              weights: Optional[np.ndarray] = None,
+              threshold: float = 0.5) -> float:
+    w = np.ones_like(preds, dtype=np.float64) if weights is None else weights
+    probs = _as_probs(preds)
+    pred_pos = probs > threshold
+    t = target > 0.5
+    tp = np.sum(np.where(pred_pos & t, w, 0.0))
+    fp = np.sum(np.where(pred_pos & ~t, w, 0.0))
+    fn = np.sum(np.where(~pred_pos & t, w, 0.0))
+    denom = 2 * tp + fp + fn
+    return float(2 * tp / denom) if denom > 0 else 0.0
+
+
+_METRIC_FNS = {
+    "AUROC": binary_auroc,
+    "AveragePrecision": binary_average_precision,
+    "F1": binary_f1,
+}
+
+
+class BootstrappedBinaryMetrics:
+    """AUROC/AP/F1 with poisson-bootstrap mean ± std.
+
+    Mirrors MetricCollection{BootStrapper(AUROC/AP/F1)} cloned with a
+    "val_"/"test_" prefix (kge_module.py:63-74).
+    """
+
+    def __init__(self, prefix: str = "", num_bootstraps: int = 10,
+                 seed: int = 0):
+        self.prefix = prefix
+        self.num_bootstraps = num_bootstraps
+        self.seed = seed
+        self.reset()
+
+    def reset(self):
+        self._preds: List[np.ndarray] = []
+        self._target: List[np.ndarray] = []
+
+    def update(self, preds, target):
+        self._preds.append(np.asarray(preds, dtype=np.float64).ravel())
+        self._target.append(np.asarray(target, dtype=np.float64).ravel())
+
+    def compute(self) -> Dict[str, float]:
+        if not self._preds:
+            return {}
+        preds = np.concatenate(self._preds)
+        target = np.concatenate(self._target)
+        rng = np.random.default_rng(self.seed)
+        out = {}
+        for name, fn in _METRIC_FNS.items():
+            raw = fn(preds, target)
+            samples = [
+                fn(preds, target,
+                   weights=rng.poisson(1.0, size=len(preds)).astype(np.float64))
+                for _ in range(self.num_bootstraps)
+            ]
+            out[f"{self.prefix}{name}"] = raw
+            out[f"{self.prefix}{name}_mean"] = float(np.mean(samples))
+            out[f"{self.prefix}{name}_std"] = float(np.std(samples, ddof=1))
+        return out
+
+
+class EdgeWisePrecision:
+    """Per-relation fraction of positive scores above a threshold.
+
+    Parity with reference utils/metrics.py:5-39, including thresholding the
+    raw (pre-sigmoid) scores at 0.5. State is two count vectors so it
+    psum-reduces across hosts exactly like ``dist_reduce_fx="sum"``.
+    """
+
+    def __init__(self, class_mapping: Dict[int, str], threshold: float = 0.5):
+        self.class_mapping = class_mapping
+        self.threshold = threshold
+        self.num_classes = len(class_mapping)
+        self.reset()
+
+    def reset(self):
+        self.class_counts = np.zeros(self.num_classes, dtype=np.float64)
+        self.above_threshold_counts = np.zeros(self.num_classes,
+                                               dtype=np.float64)
+
+    def update(self, preds, target, mask=None):
+        preds = np.asarray(preds, dtype=np.float64).ravel()
+        target = np.asarray(target).ravel().astype(np.int64)
+        if mask is not None:
+            m = np.asarray(mask).ravel().astype(bool)
+            preds, target = preds[m], target[m]
+        valid = (target >= 0) & (target < self.num_classes)
+        preds, target = preds[valid], target[valid]
+        self.class_counts += np.bincount(target, minlength=self.num_classes)
+        self.above_threshold_counts += np.bincount(
+            target, weights=(preds > self.threshold).astype(np.float64),
+            minlength=self.num_classes)
+
+    def compute(self) -> Dict[str, float]:
+        out = {}
+        for class_idx in range(self.num_classes):
+            key = str(self.class_mapping[class_idx]) + "_pre"
+            if self.class_counts[class_idx] > 0:
+                out[key] = float(self.above_threshold_counts[class_idx]
+                                 / self.class_counts[class_idx])
+            else:
+                out[key] = 0.0
+        return out

@@ -1,0 +1,53 @@
+"""Config system: composition, overrides, instantiate (mini-hydra parity)."""
+
+import os
+
+from biomedkg_tpu.config import Config, load_config, instantiate
+
+
+def test_kge_composition(repo_root):
+    cfg = load_config(os.path.join(repo_root, "configs"), "kge")
+    assert cfg.seed == 42
+    assert cfg.neg_ratio == 10
+    assert cfg.data.batch_size == 128
+    assert cfg.data.node_type == ["gene/protein", "drug", "disease"]
+    assert cfg.model.encoder_name == "rgcn"
+    assert cfg.model.decoder_name == "dismult"
+    # model/base.yaml merged through the group-internal defaults list
+    assert cfg.model.scheduler_type == "cosine"
+    assert cfg.model.learning_rate == 0.001
+    assert cfg.model.fuse_method == "none"
+
+
+def test_overrides(repo_root):
+    cfg = load_config(
+        os.path.join(repo_root, "configs"), "kge",
+        ["neg_ratio=3", "data.batch_size=64", "model.encoder_name=rgat",
+         "devices=[0]", "data.node_type=[drug]"],
+    )
+    assert cfg.neg_ratio == 3
+    assert cfg.data.batch_size == 64
+    assert cfg.model.encoder_name == "rgat"
+    assert cfg.devices == [0]
+    assert cfg.data.node_type == ["drug"]
+
+
+def test_dpi_neg_ratio_none_string(repo_root):
+    # The reference ships `neg_ratio: none` as a YAML string token
+    # (configs/dpi.yaml:14); keep the quirk visible.
+    cfg = load_config(os.path.join(repo_root, "configs"), "dpi")
+    assert cfg.neg_ratio == "none" or cfg.neg_ratio is None
+
+
+def test_dotted_set_get():
+    cfg = Config()
+    cfg.set_dotted("a.b.c", 5)
+    assert cfg.a.b.c == 5
+    assert cfg.get_dotted("a.b.c") == 5
+    assert cfg.get_dotted("a.x", "fallback") == "fallback"
+
+
+def test_instantiate():
+    node = Config._wrap({"_target_": "collections.OrderedDict"})
+    obj = instantiate(node)
+    assert obj.__class__.__name__ == "OrderedDict"

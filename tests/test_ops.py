@@ -1,0 +1,171 @@
+"""Kernel-level unit tests: segment ops and relation matmul vs dense refs."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from biomedkg_tpu.ops import (
+    per_dst_relation_counts,
+    relation_matmul,
+    scatter_add,
+    segment_softmax,
+)
+from biomedkg_tpu.sampling import pad_graph_batch
+
+
+def test_scatter_add_matches_numpy(rng):
+    E, N, D = 200, 37, 8
+    vals = rng.standard_normal((E, D)).astype(np.float32)
+    idx = rng.integers(0, N, E)
+    out = scatter_add(jnp.asarray(vals), jnp.asarray(idx), N)
+    expected = np.zeros((N, D), np.float32)
+    np.add.at(expected, idx, vals)
+    np.testing.assert_allclose(np.asarray(out), expected, rtol=1e-5, atol=1e-5)
+
+
+def test_per_dst_relation_counts(rng):
+    E, N, R = 100, 20, 5
+    dst = rng.integers(0, N, E)
+    et = rng.integers(0, R, E)
+    mask = rng.random(E) > 0.3
+    out = np.asarray(per_dst_relation_counts(
+        jnp.asarray(dst), jnp.asarray(et), jnp.asarray(mask), N, R))
+    expected = np.zeros((N, R))
+    for i in range(E):
+        if mask[i]:
+            expected[dst[i], et[i]] += 1
+    np.testing.assert_allclose(out, expected)
+
+
+def test_segment_softmax_masked(rng):
+    E, N = 64, 10
+    scores = rng.standard_normal(E).astype(np.float32)
+    idx = rng.integers(0, N, E)
+    mask = rng.random(E) > 0.2
+    out = np.asarray(segment_softmax(
+        jnp.asarray(scores), jnp.asarray(idx), N, mask=jnp.asarray(mask)))
+    # masked entries are exactly zero
+    assert np.all(out[~mask] == 0.0)
+    # per-segment sums are 1 where any real edge exists
+    for n in range(N):
+        seg = out[(idx == n) & mask]
+        if seg.size:
+            np.testing.assert_allclose(seg.sum(), 1.0, rtol=1e-5)
+
+
+def _dense_relmm(msg, weights, etype):
+    return np.stack([msg[e] @ weights[etype[e]] for e in range(len(etype))])
+
+
+def test_relation_matmul_scan(rng):
+    E, R, DIN, DOUT = 96, 4, 16, 12
+    msg = rng.standard_normal((E, DIN)).astype(np.float32)
+    w = rng.standard_normal((R, DIN, DOUT)).astype(np.float32)
+    et = rng.integers(0, R, E)
+    out = relation_matmul(jnp.asarray(msg), jnp.asarray(w), jnp.asarray(et),
+                          impl="scan")
+    np.testing.assert_allclose(np.asarray(out), _dense_relmm(msg, w, et),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_relation_matmul_scan_grad(rng):
+    E, R, DIN, DOUT = 32, 3, 8, 8
+    msg = jnp.asarray(rng.standard_normal((E, DIN)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((R, DIN, DOUT)).astype(np.float32))
+    et = jnp.asarray(rng.integers(0, R, E))
+
+    def loss(m, weights):
+        return jnp.sum(relation_matmul(m, weights, et, impl="scan") ** 2)
+
+    g_msg, g_w = jax.grad(loss, argnums=(0, 1))(msg, w)
+    eps = 1e-3
+    # finite-difference check on a single weight entry
+    w_p = w.at[1, 2, 3].add(eps)
+    w_m = w.at[1, 2, 3].add(-eps)
+    fd = (loss(msg, w_p) - loss(msg, w_m)) / (2 * eps)
+    np.testing.assert_allclose(float(g_w[1, 2, 3]), float(fd), rtol=1e-2)
+    assert g_msg.shape == msg.shape
+
+
+def test_pad_graph_batch_blocks(rng):
+    N, E, R, BLK = 50, 300, 4, 64
+    x = rng.standard_normal((N, 8)).astype(np.float32)
+    ei = rng.integers(0, N, (2, E))
+    et = rng.integers(0, R, E)
+    batch = pad_graph_batch(x, ei, et, num_relations=R, node_budget=64,
+                            edge_budget=512, block_size=BLK, rng=rng)
+    assert batch.edge_index.shape == (2, 512)
+    assert batch.edge_mask.sum() == E
+    # every block is single-relation
+    et_blocks = batch.edge_type.reshape(-1, BLK)
+    for b in range(et_blocks.shape[0]):
+        assert len(np.unique(et_blocks[b])) == 1
+        assert et_blocks[b][0] == batch.block_rel[b]
+    # padding edges point at the dummy node
+    assert np.all(batch.edge_index[:, ~batch.edge_mask] == 63)
+    # real edge multiset preserved
+    real = batch.edge_mask
+    got = set(zip(batch.edge_index[0, real], batch.edge_index[1, real],
+                  batch.edge_type[real]))
+    want = set(zip(ei[0], ei[1], et))
+    assert got == want
+
+
+def test_pad_graph_batch_overflow_drops(rng):
+    N, E, R, BLK = 30, 1000, 3, 64
+    x = rng.standard_normal((N, 4)).astype(np.float32)
+    ei = rng.integers(0, N, (2, E))
+    et = rng.integers(0, R, E)
+    batch = pad_graph_batch(x, ei, et, num_relations=R, node_budget=32,
+                            edge_budget=512, block_size=BLK, rng=rng)
+    assert batch.edge_mask.sum() <= 512
+    assert batch.edge_mask.sum() > 0
+
+
+def test_relation_matmul_pallas_sorted(rng):
+    """Pallas grouped-GEMM vs dense reference, via the relation-sorted batch
+    layout (interpret mode so it runs on the CPU test mesh)."""
+    from biomedkg_tpu.ops.pallas.relmm import relation_matmul_sorted
+
+    R, BLK, DIN, DOUT = 3, 128, 128, 128
+    E = 5 * BLK
+    msg = rng.standard_normal((E, DIN)).astype(np.float32)
+    w = rng.standard_normal((R, DIN, DOUT)).astype(np.float32)
+    block_rel = np.array([0, 0, 1, 2, 2], dtype=np.int32)
+    et = np.repeat(block_rel, BLK)
+
+    import jax.experimental.pallas as pl  # noqa: F401
+    from jax.experimental.pallas import tpu as pltpu
+
+    with pltpu.force_tpu_interpret_mode():
+        out = relation_matmul_sorted(jnp.asarray(msg), jnp.asarray(w),
+                                     jnp.asarray(block_rel), BLK)
+    np.testing.assert_allclose(np.asarray(out), _dense_relmm(msg, w, et),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_relation_matmul_pallas_grad(rng):
+    from biomedkg_tpu.ops.pallas.relmm import relation_matmul_sorted
+    from jax.experimental.pallas import tpu as pltpu
+
+    R, BLK, DIN, DOUT = 2, 128, 128, 128
+    E = 3 * BLK
+    msg = jnp.asarray(rng.standard_normal((E, DIN)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((R, DIN, DOUT)).astype(np.float32))
+    block_rel = jnp.asarray(np.array([0, 1, 1], dtype=np.int32))
+    et = jnp.asarray(np.repeat(np.array([0, 1, 1]), BLK))
+
+    def loss_pallas(m, weights):
+        return jnp.sum(relation_matmul_sorted(m, weights, block_rel, BLK) ** 2)
+
+    def loss_scan(m, weights):
+        return jnp.sum(relation_matmul(m, weights, et, impl="scan") ** 2)
+
+    with pltpu.force_tpu_interpret_mode():
+        gp_m, gp_w = jax.grad(loss_pallas, argnums=(0, 1))(msg, w)
+    gs_m, gs_w = jax.grad(loss_scan, argnums=(0, 1))(msg, w)
+    np.testing.assert_allclose(np.asarray(gp_m), np.asarray(gs_m),
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(gp_w), np.asarray(gs_w),
+                               rtol=1e-3, atol=1e-3)
