@@ -1,0 +1,169 @@
+"""Data modules: PrimeKGModule / DPIModule.
+
+Surface parity with /root/reference/biomedkg/data_module.py:8-259 (the
+Lightning data modules), instantiated from configs via ``_target_``
+(configs/data/primekg.yaml:1). Loader methods return static-shape padded
+GraphBatch iterators instead of PyG loaders:
+
+  * train/val/test_dataloader("saint")    → SAINT random-walk batches,
+    num_steps 1000/100/100 (data_module.py:100-107,114-121,128-145)
+  * train/val/test_dataloader("neighbor") → [30,30,30] fan-out batches
+  * all_dataloader()                       → [30,30,30] over the full graph
+  * subgraph_dataloader()                  → single full-graph padded batch
+    (replacing the reference's batch-per-node export loop)
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+
+from ..sampling.loaders import (FullGraphLoader, NeighborBatchLoader,
+                                SaintRandomWalkLoader)
+from . import node_encoders as node
+from .dpi import DPI
+from .primekg import PrimeKG
+from .split import random_link_split
+
+
+def get_node_encode_method(node_init_method: Optional[str], embed_dim: int,
+                           model_name: Optional[str],
+                           fuse_method: Optional[str],
+                           modality_config_path: str):
+    """Reference data_module.py:8-24."""
+    if node_init_method is None or node_init_method == "random":
+        return node.RandomEncode(embed_dim=embed_dim)
+    if node_init_method == "lm":
+        return node.LMMultiModalsEncode(
+            config_file=modality_config_path, embed_dim=embed_dim)
+    if node_init_method == "gcl":
+        return node.GCLEncode(model_name=model_name, fuse_method=fuse_method,
+                              embed_dim=embed_dim)
+    raise ValueError(f"Unknown node_init_method: {node_init_method!r}")
+
+
+class _BaseModule:
+    """Shared loader plumbing for the PrimeKG / DPI data modules."""
+
+    SAINT_WALK_LENGTH = 10
+    SAINT_TRAIN_STEPS = 1000
+    SAINT_EVAL_STEPS = 100
+    FANOUTS = [30, 30, 30]
+
+    def __init__(self, batch_size: int, val_ratio: float, test_ratio: float,
+                 seed: int = 42, block_size: int = 256):
+        self.batch_size = batch_size
+        self.val_ratio = val_ratio
+        self.test_ratio = test_ratio
+        self.seed = seed
+        self.block_size = block_size
+
+    def _post_setup(self, dataset):
+        self.edge_map_index = dataset.edge_map_index
+        self.data = dataset
+        self.graph = dataset.graph
+        if getattr(self, "_do_split", True):
+            self.train_data, self.val_data, self.test_data = \
+                random_link_split(self.graph, self.val_ratio,
+                                  self.test_ratio, seed=self.seed)
+
+    # -- loaders -----------------------------------------------------------
+
+    def _saint(self, split, num_steps, seed_offset):
+        return SaintRandomWalkLoader(
+            split.graph, batch_size=self.batch_size,
+            walk_length=self.SAINT_WALK_LENGTH, num_steps=num_steps,
+            block_size=self.block_size, seed=self.seed + seed_offset)
+
+    def _neighbor(self, split, shuffle, seed_offset):
+        return NeighborBatchLoader(
+            split.graph, batch_size=self.batch_size, fanouts=self.FANOUTS,
+            shuffle=shuffle, block_size=self.block_size,
+            seed=self.seed + seed_offset)
+
+    def train_dataloader(self, loader_type: str = "neighbor"):
+        assert loader_type in ("neighbor", "saint")
+        if loader_type == "saint":
+            return self._saint(self.train_data, self.SAINT_TRAIN_STEPS, 1)
+        return self._neighbor(self.train_data, shuffle=True, seed_offset=1)
+
+    def val_dataloader(self, loader_type: str = "neighbor"):
+        assert loader_type in ("neighbor", "saint")
+        if loader_type == "saint":
+            return self._saint(self.val_data, self.SAINT_EVAL_STEPS, 2)
+        return self._neighbor(self.val_data, shuffle=False, seed_offset=2)
+
+    def test_dataloader(self, loader_type: str = "neighbor"):
+        assert loader_type in ("neighbor", "saint")
+        if loader_type == "saint":
+            return self._saint(self.test_data, self.SAINT_EVAL_STEPS, 3)
+        return self._neighbor(self.test_data, shuffle=False, seed_offset=3)
+
+    def all_dataloader(self):
+        return NeighborBatchLoader(
+            self.graph, batch_size=self.batch_size, fanouts=self.FANOUTS,
+            shuffle=False, block_size=self.block_size, seed=self.seed)
+
+    def subgraph_dataloader(self):
+        return FullGraphLoader(self.graph, block_size=self.block_size)
+
+
+class PrimeKGModule(_BaseModule):
+    """Reference data_module.py:27-145."""
+
+    def __init__(self, data_dir: str, embed_dim: int, node_type: List[str],
+                 batch_size: int, val_ratio: float, test_ratio: float,
+                 node_init_method: Optional[str] = None,
+                 gcl_model: Optional[str] = None,
+                 gcl_fuse_method: Optional[str] = None,
+                 seed: int = 42, block_size: int = 256,
+                 modality_config_path: str =
+                 "configs/lm_modality/primekg_modality.yaml"):
+        super().__init__(batch_size, val_ratio, test_ratio, seed, block_size)
+        self.data_dir = data_dir
+        self.node_type = node_type
+        self.node_init_method = node_init_method
+        self.encoder = get_node_encode_method(
+            node_init_method=node_init_method, embed_dim=embed_dim,
+            model_name=gcl_model, fuse_method=gcl_fuse_method,
+            modality_config_path=modality_config_path)
+
+    def setup(self, stage: str = "split"):
+        self._do_split = stage == "split"
+        self.primekg = PrimeKG(data_dir=self.data_dir,
+                               node_type=self.node_type,
+                               encoder=self.encoder)
+        self._post_setup(self.primekg)
+
+
+class DPIModule(_BaseModule):
+    """Reference data_module.py:148-259 (ToUndirected applied before split)."""
+
+    def __init__(self, data_dir: str, embed_dim: int, batch_size: int,
+                 val_ratio: float, test_ratio: float,
+                 node_init_method: Optional[str] = None,
+                 gcl_model: Optional[str] = None,
+                 gcl_fuse_method: Optional[str] = None,
+                 seed: int = 42, block_size: int = 256,
+                 modality_config_path: str =
+                 "configs/lm_modality/dpi_modality.yaml"):
+        super().__init__(batch_size, val_ratio, test_ratio, seed, block_size)
+        self.data_dir = data_dir
+        self.node_init_method = node_init_method
+        self.encoder = get_node_encode_method(
+            node_init_method=node_init_method, embed_dim=embed_dim,
+            model_name=gcl_model, fuse_method=gcl_fuse_method,
+            modality_config_path=modality_config_path)
+
+    def setup(self, stage: str = "split"):
+        self._do_split = stage == "split"
+        self.dpi = DPI(data_dir=self.data_dir, encoder=self.encoder)
+        # T.ToUndirected(): append reversed edges with the same type
+        # (reference data_module.py:178).
+        g = self.dpi.graph
+        g.edge_index = np.concatenate([g.edge_index, g.edge_index[::-1]],
+                                      axis=1)
+        g.edge_type = np.concatenate([g.edge_type, g.edge_type])
+        g._out = g._in = None
+        self._post_setup(self.dpi)

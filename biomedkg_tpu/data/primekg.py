@@ -1,0 +1,54 @@
+"""PrimeKG dataset loader.
+
+Parity with /root/reference/biomedkg/data/dataset/primekg.py:9-38:
+TDC resource if available, else a local ``kg.csv`` (the reference wgets it
+from Harvard Dataverse on miss — attempted here too when the environment has
+egress), with both endpoint node types filtered to the requested list.
+When neither source exists (air-gapped CI), a structurally-faithful
+synthetic PrimeKG-schema graph is generated and a warning printed.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, List, Optional
+
+import pandas as pd
+
+from .synthetic import synthetic_triplets
+from .triplet import TripletGraph
+
+PRIMEKG_URL = "https://dataverse.harvard.edu/api/access/datafile/6180620"
+
+
+def _load_dataframe(data_dir: str) -> pd.DataFrame:
+    try:
+        from tdc.resource import PrimeKG as TDCPrimeKG  # optional dep
+
+        return TDCPrimeKG(path=data_dir).df
+    except (ModuleNotFoundError, ImportError):
+        pass
+
+    csv_path = os.path.join(data_dir, "kg.csv")
+    if not os.path.exists(csv_path):
+        os.makedirs(data_dir, exist_ok=True)
+        code = os.system(f"wget -q -O {csv_path} {PRIMEKG_URL}")
+        if code != 0 or not os.path.exists(csv_path) \
+                or os.path.getsize(csv_path) == 0:
+            if os.path.exists(csv_path):
+                os.remove(csv_path)
+            print("[biomedkg_tpu] PrimeKG csv unavailable (no egress); "
+                  "falling back to the synthetic PrimeKG-schema graph.")
+            return synthetic_triplets(seed=42)
+    return pd.read_csv(csv_path, low_memory=False)
+
+
+class PrimeKG(TripletGraph):
+    def __init__(self, data_dir: str, node_type: Optional[List[str]] = None,
+                 encoder: Optional[Callable] = None):
+        df = _load_dataframe(data_dir)
+        if node_type:
+            node_type = list(node_type)
+            df = df[df["x_type"].isin(node_type)
+                    & df["y_type"].isin(node_type)]
+        super().__init__(df=df, encoder=encoder)

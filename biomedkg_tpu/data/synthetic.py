@@ -1,0 +1,76 @@
+"""Synthetic PrimeKG++-schema graph generator.
+
+The real PrimeKG csv downloads from Harvard Dataverse
+(/root/reference/biomedkg/data/dataset/primekg.py:23-31); this environment
+has no egress, so tests and benchmarks run on a structurally-faithful
+synthetic graph: same triplet dataframe schema (x_type, x_name, relation,
+y_type, y_name), same three node types, a realistic relation signature set,
+and power-law-ish degree distributions.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+# (relation, x_type, y_type, relative edge share) — mirrors the PrimeKG
+# relation signatures surviving the gene/drug/disease node-type filter.
+PRIMEKG_RELATIONS = [
+    ("protein_protein", "gene/protein", "gene/protein", 0.55),
+    ("drug_protein", "drug", "gene/protein", 0.06),
+    ("contraindication", "drug", "disease", 0.04),
+    ("indication", "drug", "disease", 0.02),
+    ("off-label use", "drug", "disease", 0.01),
+    ("drug_drug", "drug", "drug", 0.25),
+    ("disease_protein", "disease", "gene/protein", 0.06),
+    ("disease_disease", "disease", "disease", 0.01),
+]
+
+DPI_RELATION = [("drug_protein_interaction", "drug", "gene/protein", 1.0)]
+
+
+def _power_law_targets(rng, n, size, alpha=0.8):
+    """Sample node ids with a heavy-tailed preference (hub structure)."""
+    w = (1.0 + np.arange(n)) ** (-alpha)
+    w /= w.sum()
+    return rng.choice(n, size=size, p=w)
+
+
+def synthetic_triplets(
+    num_gene: int = 2000,
+    num_drug: int = 600,
+    num_disease: int = 400,
+    num_edges: int = 40000,
+    relations=None,
+    seed: int = 0,
+) -> pd.DataFrame:
+    rng = np.random.default_rng(seed)
+    relations = relations or PRIMEKG_RELATIONS
+    sizes = {"gene/protein": num_gene, "drug": num_drug,
+             "disease": num_disease}
+    names = {t: np.array([f"{t.split('/')[0]}_{i:06d}" for i in range(n)])
+             for t, n in sizes.items()}
+
+    shares = np.array([r[3] for r in relations], dtype=np.float64)
+    shares /= shares.sum()
+    rows = []
+    for (rel, xt, yt, _), share in zip(relations, shares):
+        m = max(1, int(num_edges * share))
+        src = _power_law_targets(rng, sizes[xt], m)
+        dst = _power_law_targets(rng, sizes[yt], m)
+        rows.append(pd.DataFrame({
+            "x_type": xt, "x_name": names[xt][src],
+            "relation": rel,
+            "y_type": yt, "y_name": names[yt][dst],
+        }))
+    df = pd.concat(rows, ignore_index=True)
+    df = df.drop_duplicates(
+        subset=["x_name", "relation", "y_name"]).reset_index(drop=True)
+    return df
+
+
+def synthetic_dpi(num_drug: int = 300, num_gene: int = 500,
+                  num_edges: int = 4000, seed: int = 1) -> pd.DataFrame:
+    return synthetic_triplets(
+        num_gene=num_gene, num_drug=num_drug, num_disease=1,
+        num_edges=num_edges, relations=DPI_RELATION, seed=seed)

@@ -18,20 +18,18 @@ import numpy as np
 
 def ranges_concat(starts: np.ndarray, counts: np.ndarray) -> np.ndarray:
     """Concatenate [starts[i], starts[i]+counts[i]) index ranges, vectorized."""
-    total = int(counts.sum())
-    if total == 0:
-        return np.empty(0, dtype=np.int64)
-    out = np.ones(total, dtype=np.int64)
-    cum = np.cumsum(counts)
-    out[0] = starts[0]
     nz = counts > 0
-    # positions where a new range begins (after the first)
-    first_pos = np.concatenate([[0], cum[:-1]])
-    prev_end_value = np.concatenate([[0], (starts + counts)[:-1]])
-    corrections = starts - prev_end_value + 1
-    idx = first_pos[nz][1:] if nz[0] else first_pos[nz]
-    corr = corrections[nz][1:] if nz[0] else corrections[nz]
-    out[idx] = corr
+    s = np.asarray(starts, dtype=np.int64)[nz]
+    c = np.asarray(counts, dtype=np.int64)[nz]
+    if len(s) == 0:
+        return np.empty(0, dtype=np.int64)
+    total = int(c.sum())
+    out = np.ones(total, dtype=np.int64)
+    out[0] = s[0]
+    if len(s) > 1:
+        first_pos = np.cumsum(c)[:-1]       # output index where range i+1 begins
+        prev_end = s[:-1] + c[:-1]          # value just past range i
+        out[first_pos] = s[1:] - prev_end + 1
     return np.cumsum(out)
 
 

@@ -1,0 +1,284 @@
+"""GCL training modules: DGI / GRACE / GGD with in-framework contrastive
+losses (no PyGCL dependency).
+
+Behavioral parity with /root/reference/biomedkg/gcl_module.py:17-234:
+
+  * BaseGCL: fusion → model → loss; Adam + warmup schedule shared with KGE
+  * DGIModule: SingleBranchContrast(JSD, mode="G2L") over (z, summary, zn)
+    — the JSD estimator is implemented directly (softplus form)
+  * GRACEModule: DualBranchContrast(InfoNCE(tau=0.2), mode="L2L",
+    intraview_negs=True) over projected two-view embeddings, cosine
+    similarity, symmetrized
+  * GGDModule: BCE-with-logits over summed pos/neg projections
+
+All losses are masked over padding nodes so one compiled step serves every
+padded batch.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..models.encoders import GCNEncoder
+from ..models.factory import FusionFactory
+from ..models.gcl import DGI, GGD, GRACE
+from .checkpoint import load_checkpoint
+from .kge_module import TrainState
+from .optim import make_optimizer
+
+_LOG2 = math.log(2.0)
+
+
+def _masked_mean(values, mask):
+    m = mask.astype(values.dtype)
+    return jnp.sum(values * m) / jnp.maximum(jnp.sum(m), 1.0)
+
+
+def jsd_g2l_loss(z, g, zn, node_mask):
+    """PyGCL SingleBranchContrast(JSD, 'G2L') for the DGI triple
+    (gcl_module.py:127,140-143): each real node vs the graph summary."""
+    d_pos = jnp.squeeze(z @ g.T, -1)
+    d_neg = jnp.squeeze(zn @ g.T, -1)
+    e_pos = _masked_mean(_LOG2 - jax.nn.softplus(-d_pos), node_mask)
+    e_neg = _masked_mean(jax.nn.softplus(-d_neg) + d_neg - _LOG2, node_mask)
+    return e_neg - e_pos
+
+
+def infonce_intraview_loss(h1, h2, node_mask, tau: float = 0.2):
+    """PyGCL DualBranchContrast(InfoNCE(tau), 'L2L', intraview_negs=True)
+    (gcl_module.py:171-173): cosine similarities, positives on the
+    inter-view diagonal, negatives = all inter-view + non-diagonal
+    intra-view pairs; symmetrized over the two directions."""
+
+    def normalize(h):
+        return h / jnp.maximum(jnp.linalg.norm(h, axis=-1, keepdims=True),
+                               1e-12)
+
+    def direction(a, b):
+        an, bn = normalize(a), normalize(b)
+        inter = (an @ bn.T) / tau
+        intra = (an @ an.T) / tau
+        neg = jnp.finfo(inter.dtype).min
+        col = jnp.where(node_mask[None, :], 0.0, neg)
+        inter = inter + col
+        eye = jnp.eye(inter.shape[0], dtype=bool)
+        intra = jnp.where(eye, neg, intra + col)
+        pos = jnp.diagonal(inter)
+        denom = jnp.logaddexp(
+            jax.scipy.special.logsumexp(inter, axis=1),
+            jax.scipy.special.logsumexp(intra, axis=1))
+        return _masked_mean(-(pos - denom), node_mask)
+
+    return 0.5 * (direction(h1, h2) + direction(h2, h1))
+
+
+def ggd_bce_loss(pos_h, neg_h, node_mask):
+    """BCE over summed projections (gcl_module.py:229-234), masked."""
+    pred = jnp.concatenate([pos_h, neg_h])
+    gt = jnp.concatenate([jnp.ones_like(pos_h), jnp.zeros_like(neg_h)])
+    w = jnp.concatenate([node_mask, node_mask]).astype(pred.dtype)
+    log_p = jax.nn.log_sigmoid(pred)
+    log_np = jax.nn.log_sigmoid(-pred)
+    loss = -(gt * log_p + (1 - gt) * log_np)
+    return jnp.sum(loss * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+
+class BaseGCL:
+    kind = "gcl"
+    model_name = "base"
+
+    def __init__(self, in_dim: int, hidden_dim: int, out_dim: int,
+                 num_hidden_layers: int, scheduler_type: str = "cosine",
+                 learning_rate: float = 2e-4, warm_up_ratio: float = 0.03,
+                 fuse_method: Optional[str] = None, seed: int = 42):
+        self.hparams = dict(
+            in_dim=in_dim, hidden_dim=hidden_dim, out_dim=out_dim,
+            num_hidden_layers=num_hidden_layers,
+            scheduler_type=scheduler_type, learning_rate=learning_rate,
+            warm_up_ratio=warm_up_ratio, fuse_method=fuse_method, seed=seed)
+        self.encoder = GCNEncoder(in_dim=in_dim, hidden_dim=hidden_dim,
+                                  out_dim=out_dim,
+                                  num_hidden_layers=num_hidden_layers)
+        self.model = self._build_model()
+        self.modality_transform = FusionFactory.create_fuser(
+            method=fuse_method, embed_dim=in_dim)
+        self.lr = learning_rate
+        self.scheduler_type = scheduler_type
+        self.warm_up_ratio = warm_up_ratio
+        self.seed = seed
+        self.tx: Optional[optax.GradientTransformation] = None
+        self._jit_cache: Dict[str, Any] = {}
+
+    def _build_model(self):  # pragma: no cover - overridden
+        raise NotImplementedError
+
+    def init(self, rng) -> dict:
+        r1, r2 = jax.random.split(rng)
+        params = {"model": self.model.init(r1)}
+        if self.modality_transform is not None:
+            params["fusion"] = self.modality_transform.init(r2)
+        return params
+
+    def configure_optimizers(self, num_training_steps: int,
+                             grad_clip: float = 1.0):
+        self.tx = make_optimizer(self.lr, self.scheduler_type,
+                                 num_training_steps, self.warm_up_ratio,
+                                 grad_clip)
+        self._jit_cache.clear()
+
+    def init_state(self, rng) -> TrainState:
+        params = self.init(rng)
+        assert self.tx is not None, "call configure_optimizers first"
+        return TrainState(params, self.tx.init(params),
+                          jnp.zeros((), jnp.int32))
+
+    def fusion_fn(self, params, x, rng=None, training=False):
+        """Reference gcl_module.py:43-50."""
+        if self.modality_transform is not None:
+            return self.modality_transform.apply(params["fusion"], x,
+                                                 rng=rng, training=training)
+        if x.ndim == 3:
+            return jnp.mean(x, axis=1)
+        return x
+
+    def calculate_loss(self, params, x, batch, rng, training):
+        raise NotImplementedError
+
+    def _forward_loss(self, params, batch, rng, training: bool):
+        r_fuse, r_model = jax.random.split(rng)
+        x = self.fusion_fn(params, batch.x, rng=r_fuse, training=training)
+        loss = self.calculate_loss(params, x, batch, r_model, training)
+        return loss, {"loss": loss}
+
+    def _get_train_step(self):
+        if "train" not in self._jit_cache:
+            tx = self.tx
+
+            @functools.partial(jax.jit, donate_argnums=(0,))
+            def train_step(state: TrainState, batch, rng):
+                def loss_fn(p):
+                    return self._forward_loss(p, batch, rng, training=True)
+
+                (loss, _), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(state.params)
+                updates, opt_state = tx.update(grads, state.opt_state,
+                                               state.params)
+                params = optax.apply_updates(state.params, updates)
+                return TrainState(params, opt_state, state.step + 1), loss
+
+            self._jit_cache["train"] = train_step
+        return self._jit_cache["train"]
+
+    def _get_eval_step(self):
+        if "eval" not in self._jit_cache:
+            @jax.jit
+            def eval_step(params, batch, rng):
+                _, aux = self._forward_loss(params, batch, rng,
+                                            training=False)
+                return aux
+
+            self._jit_cache["eval"] = eval_step
+        return self._jit_cache["eval"]
+
+    def train_step(self, state, batch, rng):
+        state, loss = self._get_train_step()(state, batch, rng)
+        return state, {"train_loss": float(loss)}
+
+    def eval_step(self, params, batch, rng):
+        return self._get_eval_step()(params, batch, rng)
+
+    def eval_epoch(self, outputs, split: str) -> Dict[str, float]:
+        losses = [float(a["loss"]) for a in outputs]
+        return {f"{split}_loss": float(np.mean(losses)) if losses else 0.0}
+
+    def encode(self, params, batch):
+        """Reference BaseGCL.forward (gcl_module.py:56-59): fused features
+        through the clean encoder — used for embedding export."""
+        @jax.jit
+        def fwd(p, b):
+            x = self.fusion_fn(p, b.x, training=False)
+            return self.encoder.apply(p["model"]["encoder"], x,
+                                      b.edge_index, b.edge_mask,
+                                      training=False)
+
+        return fwd(params, batch)
+
+
+class DGIModule(BaseGCL):
+    model_name = "dgi"
+
+    def _build_model(self):
+        return DGI(encoder=self.encoder,
+                   hidden_dim=self.hparams["hidden_dim"])
+
+    def calculate_loss(self, params, x, batch, rng, training):
+        z, g, zn = self.model.apply(params["model"], x, batch.edge_index,
+                                    batch.edge_mask, batch.node_mask,
+                                    rng=rng, training=training)
+        return jsd_g2l_loss(z, g, zn, batch.node_mask)
+
+
+class GRACEModule(BaseGCL):
+    model_name = "grace"
+
+    def _build_model(self):
+        return GRACE(encoder=self.encoder,
+                     hidden_dim=self.hparams["hidden_dim"],
+                     proj_dim=self.hparams["hidden_dim"])
+
+    def calculate_loss(self, params, x, batch, rng, training):
+        _, z1, z2 = self.model.apply(params["model"], x, batch.edge_index,
+                                     batch.edge_mask, batch.node_mask,
+                                     rng=rng, training=training)
+        h1 = self.model.project(params["model"], z1)
+        h2 = self.model.project(params["model"], z2)
+        return infonce_intraview_loss(h1, h2, batch.node_mask)
+
+
+class GGDModule(BaseGCL):
+    model_name = "ggd"
+
+    def _build_model(self):
+        return GGD(encoder=self.encoder,
+                   hidden_dim=self.hparams["hidden_dim"],
+                   n_proj=1, aug_p=0.5)
+
+    def calculate_loss(self, params, x, batch, rng, training):
+        pos_h, neg_h = self.model.apply(params["model"], x,
+                                        batch.edge_index, batch.edge_mask,
+                                        batch.node_mask, rng=rng,
+                                        training=training)
+        return ggd_bce_loss(pos_h, neg_h, batch.node_mask)
+
+
+_GCL_CLASSES = {"dgi": DGIModule, "grace": GRACEModule, "ggd": GGDModule}
+
+
+def create_gcl_model(cfg) -> BaseGCL:
+    """Reference train_gcl.py:15-38."""
+    cls = _GCL_CLASSES.get(cfg.model_name)
+    if cls is None:
+        raise NotImplementedError(cfg.model_name)
+    return cls(in_dim=cfg.in_dim, hidden_dim=cfg.hidden_dim,
+               out_dim=cfg.out_dim,
+               num_hidden_layers=cfg.num_hidden_layers,
+               scheduler_type=cfg.scheduler_type,
+               learning_rate=cfg.learning_rate,
+               warm_up_ratio=cfg.warm_up_ratio,
+               fuse_method=cfg.fuse_method)
+
+
+def load_gcl_module(ckpt_path: str):
+    """GCL ``load_from_checkpoint`` analog (reference node.py:204-211)."""
+    ckpt = load_checkpoint(ckpt_path)
+    assert ckpt["kind"] == "gcl", f"not a GCL checkpoint: {ckpt_path}"
+    cls = _GCL_CLASSES[ckpt["extras"]["model_name"]]
+    module = cls(**ckpt["hparams"])
+    return module, ckpt["params"]

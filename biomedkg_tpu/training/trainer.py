@@ -1,0 +1,180 @@
+"""Training loop driver (Lightning Trainer surface subset).
+
+Covers everything the reference entry points use
+(/root/reference/train_kge.py:44-98, train_gcl.py:65-122):
+max_epochs, check_val_every_n_epoch, gradient_clip_val, fast_dev_run
+(debug → one train + one val batch), ModelCheckpoint/EarlyStopping
+callbacks, metric logging every N steps, ``test(ckpt_path="best")``.
+
+TPU specifics: batches are produced by a background prefetch thread
+(host sampling overlaps device compute), the jitted step is compiled once
+per batch envelope, and per-epoch throughput (batches/sec and
+triplets/sec) is recorded — instrumentation the reference lacks
+(SURVEY §5 tracing row).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, List, Optional
+
+import jax
+import numpy as np
+
+from ..sampling.loaders import prefetch
+from .checkpoint import (EarlyStopping, ModelCheckpoint, load_checkpoint,
+                         save_checkpoint)
+from .logger import MetricsLogger
+
+
+class Trainer:
+    def __init__(self, max_epochs: int = 1,
+                 check_val_every_n_epoch: int = 1,
+                 gradient_clip_val: float = 1.0,
+                 callbacks: Optional[List] = None,
+                 logger: Optional[MetricsLogger] = None,
+                 fast_dev_run: bool = False,
+                 log_every_n_steps: int = 10,
+                 enable_checkpointing: bool = True,
+                 accelerator: str = "auto",
+                 devices=None,
+                 deterministic: bool = True,
+                 default_root_dir: Optional[str] = None,
+                 enable_progress_bar: bool = True):
+        self.max_epochs = max_epochs
+        self.check_val_every_n_epoch = check_val_every_n_epoch
+        self.gradient_clip_val = gradient_clip_val
+        self.callbacks = callbacks or []
+        self.logger = logger
+        self.fast_dev_run = fast_dev_run
+        self.log_every_n_steps = log_every_n_steps
+        self.enable_checkpointing = enable_checkpointing and not fast_dev_run
+        self.enable_progress_bar = enable_progress_bar
+        self.current_epoch = 0
+        self.global_step = 0
+        self.module = None
+        self.state = None
+        self.history: List[Dict[str, float]] = []
+
+    # -- checkpoint hook used by ModelCheckpoint ------------------------------
+
+    def save(self, path: str):
+        extras = {"model_name": getattr(self.module, "model_name", None)}
+        save_checkpoint(path, self.module.kind, self.module.hparams,
+                        self.state.params, self.state.opt_state,
+                        int(self.state.step), extras)
+
+    def _checkpoint_callbacks(self):
+        return [c for c in self.callbacks if isinstance(c, ModelCheckpoint)]
+
+    @property
+    def best_model_path(self) -> Optional[str]:
+        for cb in self._checkpoint_callbacks():
+            if cb.best_model_path:
+                return cb.best_model_path
+        return None
+
+    # -- loops ------------------------------------------------------------------
+
+    def fit(self, model, train_dataloaders, val_dataloaders=None):
+        self.module = model
+        epochs = 1 if self.fast_dev_run else self.max_epochs
+        steps_per_epoch = (1 if self.fast_dev_run
+                           else len(train_dataloaders))
+        model.configure_optimizers(steps_per_epoch * epochs,
+                                   grad_clip=self.gradient_clip_val)
+        rng = jax.random.PRNGKey(getattr(model, "seed", 42))
+        rng, init_rng = jax.random.split(rng)
+        self.state = model.init_state(init_rng)
+
+        for epoch in range(epochs):
+            self.current_epoch = epoch
+            t0 = time.time()
+            n_batches = 0
+            n_edges = 0
+            last_loss = 0.0
+            for batch in prefetch(iter(train_dataloaders)):
+                rng, step_rng = jax.random.split(rng)
+                self.state, logs = model.train_step(self.state, batch,
+                                                    step_rng)
+                last_loss = logs["train_loss"]
+                self.global_step += 1
+                n_batches += 1
+                n_edges += int(np.sum(batch.edge_mask))
+                if self.logger and \
+                        self.global_step % self.log_every_n_steps == 0:
+                    self.logger.log(logs, self.global_step)
+                if self.fast_dev_run:
+                    break
+            dt = max(time.time() - t0, 1e-9)
+            epoch_logs = {
+                "epoch": epoch,
+                "train_loss_epoch": last_loss,
+                "batches_per_sec": n_batches / dt,
+                "edges_per_sec": n_edges / dt,
+            }
+            if self.enable_progress_bar:
+                print(f"[epoch {epoch}] train_loss={last_loss:.4f} "
+                      f"({n_batches / dt:.2f} batch/s, "
+                      f"{n_edges / dt:,.0f} edges/s)")
+
+            run_val = val_dataloaders is not None and (
+                self.fast_dev_run
+                or (epoch + 1) % self.check_val_every_n_epoch == 0)
+            if run_val:
+                rng, val_rng = jax.random.split(rng)
+                val_metrics = self._eval_loop(model, self.state.params,
+                                              val_dataloaders, "val",
+                                              val_rng)
+                epoch_logs.update(val_metrics)
+                if self.enable_progress_bar:
+                    val_loss = val_metrics.get("val_loss", float("nan"))
+                    print(f"[epoch {epoch}] val_loss={val_loss:.4f}")
+                if self.enable_checkpointing:
+                    for cb in self.callbacks:
+                        if hasattr(cb, "on_validation_end"):
+                            cb.on_validation_end(self, val_metrics)
+            if self.logger:
+                self.logger.log(epoch_logs, self.global_step)
+            self.history.append(epoch_logs)
+
+            if any(getattr(cb, "should_stop", False)
+                   for cb in self.callbacks):
+                if self.enable_progress_bar:
+                    print(f"[early stop] epoch {epoch}")
+                break
+        return self.state
+
+    def _eval_loop(self, model, params, dataloader, split: str, rng):
+        outputs = []
+        for batch in prefetch(iter(dataloader)):
+            rng, step_rng = jax.random.split(rng)
+            outputs.append(model.eval_step(params, batch, step_rng))
+            if self.fast_dev_run:
+                break
+        return model.eval_epoch(outputs, split)
+
+    def validate(self, model, dataloaders, params=None):
+        params = params if params is not None else self.state.params
+        rng = jax.random.PRNGKey(getattr(model, "seed", 42) + 1)
+        return self._eval_loop(model, params, dataloaders, "val", rng)
+
+    def test(self, model, dataloaders, ckpt_path: Optional[str] = None,
+             params=None):
+        self.module = model
+        if ckpt_path == "best":
+            ckpt_path = self.best_model_path
+        if ckpt_path:
+            ckpt = load_checkpoint(ckpt_path)
+            params = ckpt["params"]
+        elif params is None:
+            params = self.state.params
+        rng = jax.random.PRNGKey(getattr(model, "seed", 42) + 2)
+        metrics = self._eval_loop(model, params, dataloaders, "test", rng)
+        if self.enable_progress_bar:
+            print("test metrics:")
+            for k, v in sorted(metrics.items()):
+                print(f"  {k}: {v:.6f}")
+        if self.logger:
+            self.logger.log(metrics, self.global_step)
+        return metrics
