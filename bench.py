@@ -1,0 +1,182 @@
+"""Headline benchmark: KGE training throughput on a PrimeKG++-scale graph.
+
+Metric: triplets scored per second during RGCN+DistMult link-prediction
+training (positives + sampled negatives through encode→decode→BCE→adam),
+the hot loop of the reference pipeline (SURVEY §3.1; the reference itself
+never measures throughput — BASELINE.md).
+
+``vs_baseline`` compares against a faithful torch-CPU implementation of the
+same training step on identical batches (the reference stack is
+torch/PyG; no CUDA device exists in this environment, so torch-CPU is the
+honest stand-in for the reference implementation).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+MODEL = dict(in_dim=768, hidden_dim=256, out_dim=256, num_hidden_layers=2)
+NEG_RATIO = 10
+BATCH_SIZE = 128
+WALK_LENGTH = 10
+BLOCK_SIZE = 256
+
+
+def build_graph():
+    from biomedkg_tpu.data.node_encoders import RandomEncode
+    from biomedkg_tpu.data.synthetic import synthetic_triplets
+    from biomedkg_tpu.data.triplet import TripletGraph
+
+    df = synthetic_triplets(num_gene=27000, num_drug=8000,
+                            num_disease=17000, num_edges=1_300_000, seed=42)
+    return TripletGraph(df, encoder=RandomEncode(embed_dim=MODEL["in_dim"]))
+
+
+def make_loader(graph, seed=0):
+    from biomedkg_tpu.sampling.loaders import SaintRandomWalkLoader
+
+    return SaintRandomWalkLoader(graph, batch_size=BATCH_SIZE,
+                                 walk_length=WALK_LENGTH, num_steps=10**9,
+                                 block_size=BLOCK_SIZE, seed=seed)
+
+
+def bench_jax(tg, batches, warmup=3, steps=20):
+    import jax
+
+    from biomedkg_tpu.training.kge_module import KGEModule
+
+    module = KGEModule(
+        encoder_name="rgcn", decoder_name="dismult", **MODEL,
+        num_relation=tg.num_edge_types, num_heads=2,
+        scheduler_type="cosine", learning_rate=1e-3, warm_up_ratio=0.2,
+        fuse_method="none", neg_ratio=NEG_RATIO,
+        node_init_method="random")
+    module.configure_optimizers(num_training_steps=steps + warmup)
+    rng = jax.random.PRNGKey(0)
+    state = module.init_state(rng)
+    step_fn = module._get_train_step()
+
+    for i in range(warmup):
+        rng, r = jax.random.split(rng)
+        state, loss = step_fn(state, batches[i % len(batches)], r)
+    jax.block_until_ready(loss)
+
+    t0 = time.perf_counter()
+    for i in range(steps):
+        rng, r = jax.random.split(rng)
+        state, loss = step_fn(state, batches[i % len(batches)], r)
+    jax.block_until_ready(loss)
+    dt = time.perf_counter() - t0
+
+    triplets = sum(
+        int(np.sum(batches[i % len(batches)].edge_mask)) * (1 + NEG_RATIO)
+        for i in range(steps))
+    return triplets / dt
+
+
+def bench_torch_cpu(tg, batches, warmup=1, steps=4):
+    """Reference-equivalent torch step: RGCN (per-relation GEMM over
+    relation-sorted segments + scatter-mean) → DistMult → BCE + L2 → Adam."""
+    import torch
+
+    torch.manual_seed(0)
+    num_rel = tg.num_edge_types
+    dims = [(MODEL["in_dim"], MODEL["hidden_dim"])]
+    dims += [(MODEL["hidden_dim"], MODEL["hidden_dim"])] \
+        * MODEL["num_hidden_layers"]
+    dims += [(MODEL["hidden_dim"], MODEL["out_dim"])]
+
+    layers = []
+    for din, dout in dims:
+        layers.append({
+            "w_rel": torch.nn.Parameter(torch.randn(num_rel, din, dout)
+                                        * 0.05),
+            "w_root": torch.nn.Parameter(torch.randn(din, dout) * 0.05),
+            "b": torch.nn.Parameter(torch.zeros(dout)),
+        })
+    rel_emb = torch.nn.Parameter(torch.randn(num_rel, MODEL["out_dim"])
+                                 * 0.05)
+    params = [p for lp in layers for p in lp.values()] + [rel_emb]
+    opt = torch.optim.Adam(params, lr=1e-3)
+
+    def conv(lp, x, src, dst, etype, n):
+        # relation-sorted segments → dense per-relation GEMMs (the same
+        # blocking PyG's RGCNConv achieves via torch-scatter kernels)
+        msg = x[src]
+        out_msg = torch.empty(msg.shape[0], lp["w_rel"].shape[2])
+        for r in range(num_rel):
+            sel = etype == r
+            if sel.any():
+                out_msg[sel] = msg[sel] @ lp["w_rel"][r]
+        ones = torch.ones(len(dst), 1)
+        cnt = torch.zeros(n * num_rel, 1).index_add_(
+            0, dst * num_rel + etype, ones).clamp(min=1.0)
+        norm = 1.0 / cnt[dst * num_rel + etype]
+        agg = torch.zeros(n, out_msg.shape[1]).index_add_(
+            0, dst, out_msg * norm)
+        return x @ lp["w_root"] + lp["b"] + agg
+
+    def step(batch):
+        real = batch.edge_mask
+        x = torch.from_numpy(batch.x[: int(batch.node_mask.sum())])
+        ei = torch.from_numpy(
+            batch.edge_index[:, real].astype(np.int64))
+        et = torch.from_numpy(batch.edge_type[real].astype(np.int64))
+        src, dst = ei[0], ei[1]
+        n = x.shape[0]
+        h = x
+        for li, lp in enumerate(layers):
+            h = conv(lp, h, src, dst, et, n)
+            if li < len(layers) - 1:
+                h = torch.relu(h)
+        z = h
+        e = len(et)
+        neg_src = torch.randint(0, n, (NEG_RATIO * e,))
+        neg_dst = torch.randint(0, n, (NEG_RATIO * e,))
+        neg_et = et.repeat(NEG_RATIO)[torch.randperm(NEG_RATIO * e)]
+        pos = (z[src] * rel_emb[et] * z[dst]).sum(-1)
+        neg = (z[neg_src] * rel_emb[neg_et] * z[neg_dst]).sum(-1)
+        pred = torch.cat([pos, neg])
+        gt = torch.cat([torch.ones_like(pos), torch.zeros_like(neg)])
+        loss = torch.nn.functional.binary_cross_entropy_with_logits(
+            pred, gt) + 1e-2 * (z.pow(2).mean() + rel_emb.pow(2).mean())
+        opt.zero_grad()
+        loss.backward()
+        torch.nn.utils.clip_grad_norm_(params, 1.0)
+        opt.step()
+        return e * (1 + NEG_RATIO)
+
+    for i in range(warmup):
+        step(batches[i % len(batches)])
+    t0 = time.perf_counter()
+    triplets = 0
+    for i in range(steps):
+        triplets += step(batches[i % len(batches)])
+    dt = time.perf_counter() - t0
+    return triplets / dt
+
+
+def main():
+    tg = build_graph()
+    loader = make_loader(tg.graph)
+    it = iter(loader)
+    batches = [next(it) for _ in range(8)]
+
+    ours = bench_jax(tg, batches)
+    baseline = bench_torch_cpu(tg, batches)
+
+    print(json.dumps({
+        "metric": "kge_train_triplets_per_sec",
+        "value": round(ours, 1),
+        "unit": "triplets/s",
+        "vs_baseline": round(ours / baseline, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -76,7 +76,8 @@ class Trainer:
 
     # -- loops ------------------------------------------------------------------
 
-    def fit(self, model, train_dataloaders, val_dataloaders=None):
+    def fit(self, model, train_dataloaders, val_dataloaders=None,
+            init_params=None):
         self.module = model
         epochs = 1 if self.fast_dev_run else self.max_epochs
         steps_per_epoch = (1 if self.fast_dev_run
@@ -86,6 +87,13 @@ class Trainer:
         rng = jax.random.PRNGKey(getattr(model, "seed", 42))
         rng, init_rng = jax.random.split(rng)
         self.state = model.init_state(init_rng)
+        if init_params is not None:
+            # warm start (load_from_checkpoint → fit, train_dpi.py:32)
+            from .kge_module import TrainState
+
+            self.state = TrainState(
+                jax.tree_util.tree_map(jax.numpy.asarray, init_params),
+                model.tx.init(init_params), self.state.step)
 
         for epoch in range(epochs):
             self.current_epoch = epoch

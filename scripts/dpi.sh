@@ -1,0 +1,39 @@
+#!/bin/bash
+# DPI fine-tuning launcher — same knobs as the reference scripts/dpi.sh.
+
+ENCODER="rgcn"                  # rgcn, rgat
+DECODER="dismult"               # transe, dismult, complex, rotate
+NODE_INIT_METHOD="random"       # gcl, lm, random
+
+if [[ "$NODE_INIT_METHOD" == "random" || "$NODE_INIT_METHOD" == "lm" ]]; then
+    INIT_DIM=768
+else
+    INIT_DIM=256
+fi
+
+FUSE_METHOD="none"
+GCL_MODEL="ggd"
+GCL_FUSE_METHOD="attention"
+PRETRAINED_PATH=""              # path to a KGE .ckpt for warm start
+
+EPOCHS=100
+NEG_RATIO=1
+BATCH_SIZE=64
+DEVICES="[0]"
+LEARNING_RATE=0.001
+
+python3 train_dpi.py \
+    devices=$DEVICES \
+    epochs=$EPOCHS \
+    neg_ratio=$NEG_RATIO \
+    gcl_model=$GCL_MODEL \
+    gcl_fuse_method=$GCL_FUSE_METHOD \
+    pretrained_path=$PRETRAINED_PATH \
+    data.batch_size=$BATCH_SIZE \
+    data.embed_dim=$INIT_DIM \
+    data.node_init_method=$NODE_INIT_METHOD \
+    model.in_dim=$INIT_DIM \
+    model.learning_rate=$LEARNING_RATE \
+    model.fuse_method=$FUSE_METHOD \
+    model.encoder_name=$ENCODER \
+    model.decoder_name=$DECODER

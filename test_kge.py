@@ -1,0 +1,40 @@
+"""KGE evaluation from a checkpoint (reference /root/reference/
+test_kge.py:9-48): load ckpt, override neg_ratio, attach edge mapping,
+evaluate on SAINT test batches."""
+
+from biomedkg_tpu import config as cfglib
+from biomedkg_tpu.common import seed_everything
+from biomedkg_tpu.training.kge_module import _parse_neg_ratio, load_kge_module
+from biomedkg_tpu.training.trainer import Trainer
+
+
+@cfglib.main(config_path="configs", config_name="kge")
+def main(cfg):
+    seed_everything(cfg.seed)
+
+    data_module = cfglib.instantiate(
+        cfg.data, gcl_model=cfg.gcl_model,
+        gcl_fuse_method=cfg.gcl_fuse_method, seed=cfg.seed)
+    data_module.setup(stage="split")
+
+    print("=" * 20)
+    print(f"Load from checkpoint: {cfg.pretrained_path}")
+    print("=" * 20)
+
+    model, params = load_kge_module(cfg.pretrained_path)
+    model.neg_ratio = _parse_neg_ratio(cfg.neg_ratio)
+    model.edge_mapping = data_module.edge_map_index
+
+    print("=" * 20)
+    print(f"Neg Ratio: {model.neg_ratio}")
+    print("=" * 20)
+
+    trainer = Trainer(deterministic=True, devices=cfg.devices,
+                      log_every_n_steps=10)
+    trainer.test(model,
+                 dataloaders=data_module.test_dataloader(loader_type="saint"),
+                 params=params)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,85 @@
+"""DPI fine-tuning on DrugBank DTI (reference /root/reference/
+train_dpi.py:15-110): optionally warm-starts from a pretrained KGE
+checkpoint and pins every edge to PrimeKG's protein-drug relation id
+(fix_edge_id = 1) so the pretrained relation embedding transfers."""
+
+import os
+import time
+
+from biomedkg_tpu import config as cfglib
+from biomedkg_tpu.common import seed_everything
+from biomedkg_tpu.training.checkpoint import ModelCheckpoint
+from biomedkg_tpu.training.kge_module import KGEModule, load_kge_module
+from biomedkg_tpu.training.logger import MetricsLogger
+from biomedkg_tpu.training.trainer import Trainer
+
+
+@cfglib.main(config_path="configs", config_name="dpi")
+def main(cfg):
+    seed_everything(cfg.seed)
+
+    data_module = cfglib.instantiate(
+        cfg.data, gcl_model=cfg.gcl_model,
+        gcl_fuse_method=cfg.gcl_fuse_method, seed=cfg.seed)
+    data_module.setup(stage="split")
+
+    pretrained_params = None
+    if not str(cfg.pretrained_path).endswith(".ckpt"):
+        model = KGEModule(
+            **cfg.model,
+            num_relation=data_module.data.num_edge_types,
+            neg_ratio=cfg.neg_ratio,
+            node_init_method=cfg.data.node_init_method,
+            seed=cfg.seed)
+    else:
+        from biomedkg_tpu.training.kge_module import _parse_neg_ratio
+
+        model, pretrained_params = load_kge_module(cfg.pretrained_path)
+        # In PrimeKG, 1 is the index of the protein-drug relationship
+        # (reference train_dpi.py:33-35).
+        model.fix_edge_id = 1
+        model.neg_ratio = _parse_neg_ratio(cfg.neg_ratio)
+
+    model.edge_mapping = data_module.edge_map_index
+
+    exp_name = (f"{cfg.model.encoder_name}_{cfg.model.decoder_name}"
+                f"_{cfg.data.node_init_method}")
+    if cfg.data.node_init_method == "gcl":
+        exp_name += f"{cfg.gcl_model}_{cfg.gcl_fuse_method}"
+    exp_name += str(int(time.time()))
+    ckpt_dir = os.path.join(cfg.ckpt_dir, "dpi", exp_name)
+    log_dir = os.path.join(cfg.log_dir, "dpi", exp_name)
+    os.makedirs(ckpt_dir, exist_ok=True)
+    os.makedirs(log_dir, exist_ok=True)
+
+    checkpoint_callback = ModelCheckpoint(
+        dirpath=ckpt_dir, monitor="val_loss", save_top_k=3, mode="min",
+        save_last=True)
+    logger = MetricsLogger(save_dir=log_dir, experiment_name=exp_name,
+                           project_name="BioMedKG-DPI")
+
+    trainer = Trainer(
+        max_epochs=cfg.epochs,
+        check_val_every_n_epoch=cfg.val_every_epoch,
+        gradient_clip_val=1.0,
+        callbacks=[checkpoint_callback],
+        logger=logger,
+        fast_dev_run=cfg.debug,
+        log_every_n_steps=10,
+        deterministic=True,
+        devices=cfg.devices)
+
+    trainer.fit(
+        model,
+        train_dataloaders=data_module.train_dataloader(loader_type="saint"),
+        val_dataloaders=data_module.val_dataloader(loader_type="saint"),
+        init_params=pretrained_params)
+
+    trainer.test(
+        model,
+        dataloaders=data_module.test_dataloader(loader_type="saint"),
+        ckpt_path=None if cfg.debug else "best")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,74 @@
+"""KGE link-prediction training on PrimeKG++ (reference /root/reference/
+train_kge.py:15-102): GraphSAINT loaders, top-3 val_loss checkpoints +
+save_last, gradient clip 1.0, test on the best checkpoint. CLI overrides
+use the same dotted vocabulary so the reference's scripts/kge.sh works
+unchanged."""
+
+import os
+import time
+
+from biomedkg_tpu import config as cfglib
+from biomedkg_tpu.common import seed_everything
+from biomedkg_tpu.training.checkpoint import ModelCheckpoint
+from biomedkg_tpu.training.kge_module import KGEModule
+from biomedkg_tpu.training.logger import MetricsLogger
+from biomedkg_tpu.training.trainer import Trainer
+
+
+@cfglib.main(config_path="configs", config_name="kge")
+def main(cfg):
+    seed_everything(cfg.seed)
+
+    data_module = cfglib.instantiate(
+        cfg.data, gcl_model=cfg.gcl_model,
+        gcl_fuse_method=cfg.gcl_fuse_method, seed=cfg.seed)
+    data_module.setup(stage="split")
+
+    model = KGEModule(
+        **cfg.model,
+        num_relation=data_module.data.num_edge_types,
+        neg_ratio=cfg.neg_ratio,
+        node_init_method=cfg.data.node_init_method,
+        seed=cfg.seed)
+    model.edge_mapping = data_module.edge_map_index
+
+    exp_name = (f"{cfg.model.encoder_name}_{cfg.model.decoder_name}"
+                f"_{cfg.data.node_init_method}")
+    if cfg.data.node_init_method == "gcl":
+        exp_name += f"_{cfg.gcl_model}_{cfg.gcl_fuse_method}"
+    exp_name += str(int(time.time()))
+    ckpt_dir = os.path.join(cfg.ckpt_dir, "kge", exp_name)
+    log_dir = os.path.join(cfg.log_dir, "kge", exp_name)
+    os.makedirs(ckpt_dir, exist_ok=True)
+    os.makedirs(log_dir, exist_ok=True)
+
+    checkpoint_callback = ModelCheckpoint(
+        dirpath=ckpt_dir, monitor="val_loss", save_top_k=3, mode="min",
+        save_last=True)
+    logger = MetricsLogger(save_dir=log_dir, experiment_name=exp_name,
+                           project_name="BioMedKG-KGE")
+
+    trainer = Trainer(
+        max_epochs=cfg.epochs,
+        check_val_every_n_epoch=cfg.val_every_epoch,
+        gradient_clip_val=1.0,
+        callbacks=[checkpoint_callback],
+        logger=logger,
+        fast_dev_run=cfg.debug,
+        log_every_n_steps=10,
+        deterministic=True,
+        devices=cfg.devices)
+
+    trainer.fit(
+        model,
+        train_dataloaders=data_module.train_dataloader(loader_type="saint"),
+        val_dataloaders=data_module.val_dataloader(loader_type="saint"))
+
+    trainer.test(
+        model,
+        dataloaders=data_module.test_dataloader(loader_type="saint"),
+        ckpt_path=None if cfg.debug else "best")
+
+
+if __name__ == "__main__":
+    main()
