@@ -67,6 +67,13 @@ class TransE(_Decoder):
         hr = (h + r)[:, None, :]                        # (E, 1, d)
         return -jnp.sum(jnp.abs(hr - zn[None, :, :]), axis=-1)
 
+    def score_all_heads(self, params, z, tail, rel):
+        zn = self._l1_normalize(z)
+        t = jnp.take(zn, tail, axis=0)
+        r = jnp.take(params["rel_emb"], rel, axis=0)
+        rt = (r - t)[:, None, :]                        # (E, 1, d)
+        return -jnp.sum(jnp.abs(zn[None, :, :] + rt), axis=-1)
+
 
 class DistMult(_Decoder):
     """score = Σ h·r·t (reference decoder.py:41-49)."""
@@ -81,6 +88,11 @@ class DistMult(_Decoder):
         h = jnp.take(z, head, axis=0)
         r = jnp.take(params["rel_emb"], rel, axis=0)
         return jnp.dot(h * r, z.T, preferred_element_type=jnp.float32)
+
+    def score_all_heads(self, params, z, tail, rel):
+        t = jnp.take(z, tail, axis=0)
+        r = jnp.take(params["rel_emb"], rel, axis=0)
+        return jnp.dot(t * r, z.T, preferred_element_type=jnp.float32)
 
 
 class ComplEx(_Decoder):
@@ -108,6 +120,16 @@ class ComplEx(_Decoder):
         z_re, z_im = self._chunk(z)
         a = h_re * r_re - h_im * r_im                   # (E, d/2)
         b = h_re * r_im + h_im * r_re
+        return (jnp.dot(a, z_re.T, preferred_element_type=jnp.float32)
+                + jnp.dot(b, z_im.T, preferred_element_type=jnp.float32))
+
+    def score_all_heads(self, params, z, tail, rel):
+        t_re, t_im = self._chunk(jnp.take(z, tail, axis=0))
+        r_re, r_im = self._chunk(jnp.take(params["rel_emb"], rel, axis=0))
+        z_re, z_im = self._chunk(z)
+        # Re(<h, r, conj(t)>) grouped by h components:
+        a = t_re * r_re + t_im * r_im                   # coeff of h_re
+        b = t_im * r_re - t_re * r_im                   # coeff of h_im
         return (jnp.dot(a, z_re.T, preferred_element_type=jnp.float32)
                 + jnp.dot(b, z_im.T, preferred_element_type=jnp.float32))
 
@@ -152,5 +174,19 @@ class RotatE(_Decoder):
         z_re, z_im = self._chunk(z)
         d_re = rot_re[:, None, :] - z_re[None, :, :]
         d_im = rot_im[:, None, :] - z_im[None, :, :]
+        dist = jnp.sqrt(jnp.maximum(d_re ** 2 + d_im ** 2, 1e-12))
+        return self.gamma - jnp.sum(dist, axis=-1)
+
+    def score_all_heads(self, params, z, tail, rel):
+        # |h∘r - t| = |h - t∘conj(r)| (rotation is an isometry), so rotate
+        # the tail backwards and compare against all candidate heads.
+        t_re, t_im = self._chunk(jnp.take(z, tail, axis=0))
+        theta = jnp.take(params["rel_emb"], rel, axis=0)
+        c, s = jnp.cos(theta), jnp.sin(theta)
+        bt_re = t_re * c + t_im * s
+        bt_im = -t_re * s + t_im * c
+        z_re, z_im = self._chunk(z)
+        d_re = bt_re[:, None, :] - z_re[None, :, :]
+        d_im = bt_im[:, None, :] - z_im[None, :, :]
         dist = jnp.sqrt(jnp.maximum(d_re ** 2 + d_im ** 2, 1e-12))
         return self.gamma - jnp.sum(dist, axis=-1)

@@ -1,0 +1,66 @@
+"""Filtered-ranking evaluator: brute-force parity + metric sanity."""
+
+import jax
+import numpy as np
+import pytest
+
+from biomedkg_tpu.eval.ranking import filtered_ranking_metrics
+from biomedkg_tpu.models.decoders import ComplEx, DistMult, RotatE, TransE
+
+
+def _brute_force(decoder, params, z, test, all_triples, side="tail"):
+    all_set = set(map(tuple, all_triples.tolist()))
+    n = z.shape[0]
+    ranks = []
+    for h, r, t in test:
+        scores = []
+        for c in range(n):
+            trip = (h, r, c) if side == "tail" else (c, r, t)
+            s = float(decoder.score(
+                params, z, np.array([trip[0]]), np.array([trip[2]]),
+                np.array([r]))[0])
+            target = t if side == "tail" else h
+            if c != target and trip in all_set:
+                s = -np.inf
+            scores.append(s)
+        scores = np.array(scores)
+        target = t if side == "tail" else h
+        s_true = scores[target]
+        rank = 1 + np.sum(scores > s_true) + 0.5 * (
+            np.sum(scores == s_true) - 1)
+        ranks.append(rank)
+    return np.array(ranks)
+
+
+@pytest.mark.parametrize("decoder_cls", [DistMult, TransE, ComplEx, RotatE])
+def test_filtered_ranking_vs_bruteforce(decoder_cls, rng):
+    N, R, D = 20, 3, 8
+    decoder = decoder_cls(num_relations=R, hidden_channels=D)
+    params = decoder.init(jax.random.PRNGKey(0))
+    z = rng.standard_normal((N, D)).astype(np.float32)
+
+    all_triples = np.unique(
+        rng.integers(0, [N, R, N], size=(60, 3)), axis=0)
+    test = all_triples[:10]
+
+    got = filtered_ranking_metrics(decoder, params, z, test, all_triples,
+                                   ks=(1, 3, 10), chunk=4)
+    bf_t = _brute_force(decoder, params, z, test, all_triples, "tail")
+    bf_h = _brute_force(decoder, params, z, test, all_triples, "head")
+    bf = np.concatenate([bf_t, bf_h])
+    np.testing.assert_allclose(got["mrr"], np.mean(1.0 / bf), rtol=1e-4)
+    np.testing.assert_allclose(got["hits@10"], np.mean(bf <= 10), rtol=1e-6)
+
+
+def test_perfect_model_gets_mrr_one():
+    """Orthogonal embeddings + self-loop triples: the true entity scores 1,
+    every other candidate 0 → rank 1 everywhere → MRR = Hits@1 = 1."""
+    N = 8
+    decoder = DistMult(num_relations=2, hidden_channels=N)
+    params = {"rel_emb": np.ones((2, N), np.float32)}
+    z = np.eye(N, dtype=np.float32)
+    test = np.array([[i, 0, i] for i in range(4)])
+    metrics = filtered_ranking_metrics(decoder, params, z, test, test,
+                                       chunk=4)
+    assert metrics["hits@1"] == 1.0
+    assert metrics["mrr"] == 1.0
