@@ -63,24 +63,50 @@ class _BaseModule:
         self.edge_map_index = dataset.edge_map_index
         self.data = dataset
         self.graph = dataset.graph
+        self._saint_budgets = None
+        self._neighbor_budgets = None
         if getattr(self, "_do_split", True):
             self.train_data, self.val_data, self.test_data = \
                 random_link_split(self.graph, self.val_ratio,
                                   self.test_ratio, seed=self.seed)
 
     # -- loaders -----------------------------------------------------------
+    #
+    # Budgets are probed ONCE on the largest split graph (test carries
+    # train+val message-passing edges) and shared by every loader of that
+    # kind, so train/val/test batches have identical static shapes and the
+    # jitted step/eval programs each compile exactly once per run.
+
+    def _probe_graph(self):
+        return (self.test_data.graph if getattr(self, "_do_split", True)
+                else self.graph)
 
     def _saint(self, split, num_steps, seed_offset):
+        if self._saint_budgets is None:
+            probe = SaintRandomWalkLoader(
+                self._probe_graph(), batch_size=self.batch_size,
+                walk_length=self.SAINT_WALK_LENGTH, num_steps=1,
+                block_size=self.block_size, seed=self.seed)
+            self._saint_budgets = (probe.node_budget, probe.edge_budget)
+        nb, eb = self._saint_budgets
         return SaintRandomWalkLoader(
             split.graph, batch_size=self.batch_size,
             walk_length=self.SAINT_WALK_LENGTH, num_steps=num_steps,
-            block_size=self.block_size, seed=self.seed + seed_offset)
+            block_size=self.block_size, seed=self.seed + seed_offset,
+            node_budget=nb, edge_budget=eb)
 
     def _neighbor(self, split, shuffle, seed_offset):
+        if self._neighbor_budgets is None:
+            probe = NeighborBatchLoader(
+                self._probe_graph(), batch_size=self.batch_size,
+                fanouts=self.FANOUTS, block_size=self.block_size,
+                seed=self.seed)
+            self._neighbor_budgets = (probe.node_budget, probe.edge_budget)
+        nb, eb = self._neighbor_budgets
         return NeighborBatchLoader(
             split.graph, batch_size=self.batch_size, fanouts=self.FANOUTS,
             shuffle=shuffle, block_size=self.block_size,
-            seed=self.seed + seed_offset)
+            seed=self.seed + seed_offset, node_budget=nb, edge_budget=eb)
 
     def train_dataloader(self, loader_type: str = "neighbor"):
         assert loader_type in ("neighbor", "saint")

@@ -51,6 +51,23 @@ class CSRGraph:
         return self.edge_index.shape[1]
 
     def _build(self, key_row: np.ndarray, other: np.ndarray):
+        from . import native
+
+        lib = native.get_lib()
+        if lib is not None:
+            key = np.ascontiguousarray(key_row, np.int64)
+            oth = np.ascontiguousarray(other, np.int64)
+            et = np.ascontiguousarray(self.edge_type, np.int32)
+            e = key.shape[0]
+            indptr = np.empty(self.num_nodes + 1, np.int64)
+            nbr = np.empty(e, np.int64)
+            et_out = np.empty(e, np.int32)
+            perm = np.empty(e, np.int64)
+            lib.build_csr(native.i64(key), native.i64(oth), native.i32(et),
+                          e, self.num_nodes, native.i64(indptr),
+                          native.i64(nbr), native.i32(et_out),
+                          native.i64(perm))
+            return indptr, nbr, et_out, perm
         order = np.argsort(key_row, kind="stable")
         sorted_key = key_row[order]
         indptr = np.zeros(self.num_nodes + 1, dtype=np.int64)
@@ -77,8 +94,24 @@ class CSRGraph:
         ``nodes`` must be unique. Cost O(Σ deg_out(nodes)) via CSR slices —
         the same trick PyG's C++ saint_subgraph uses.
         """
+        from . import native
+
         indptr, nbr, etypes, _ = self.out_csr()
-        nodes = np.asarray(nodes, dtype=np.int64)
+        nodes = np.ascontiguousarray(nodes, dtype=np.int64)
+        lib = native.get_lib()
+        if lib is not None:
+            if not hasattr(self, "_lookup_buf") or self._lookup_buf is None:
+                self._lookup_buf = np.full(self.num_nodes, -1, np.int64)
+            cap = int((indptr[nodes + 1] - indptr[nodes]).sum())
+            src = np.empty(max(cap, 1), np.int64)
+            dst = np.empty(max(cap, 1), np.int64)
+            et = np.empty(max(cap, 1), np.int32)
+            m = lib.induced_subgraph(
+                native.i64(indptr), native.i64(nbr), native.i32(etypes),
+                native.i64(nodes), len(nodes), native.i64(self._lookup_buf),
+                native.i64(src), native.i64(dst), native.i32(et), cap)
+            ei = np.stack([src[:m], dst[:m]]).astype(np.int32)
+            return ei, et[:m]
         starts = indptr[nodes]
         counts = indptr[nodes + 1] - starts
         pos = ranges_concat(starts, counts)

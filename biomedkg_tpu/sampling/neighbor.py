@@ -26,8 +26,23 @@ def sample_in_neighbors(graph: CSRGraph, frontier: np.ndarray, k: int,
 
     Returns (src_global, frontier_pos, edge_type).
     """
+    from . import native
+
     indptr, nbr, etypes, _ = graph.in_csr()
-    frontier = frontier.astype(np.int64)
+    frontier = np.ascontiguousarray(frontier, np.int64)
+    lib = native.get_lib()
+    if lib is not None:
+        deg = indptr[frontier + 1] - indptr[frontier]
+        cap = int((np.minimum(deg, k) if k >= 0 else deg).sum())
+        src = np.empty(max(cap, 1), np.int64)
+        fpos = np.empty(max(cap, 1), np.int64)
+        et = np.empty(max(cap, 1), np.int32)
+        seed = int(rng.integers(0, 2**63 - 1))
+        m = lib.sample_neighbors(
+            native.i64(indptr), native.i64(nbr), native.i32(etypes),
+            native.i64(frontier), len(frontier), k, seed,
+            native.i64(src), native.i64(fpos), native.i32(et))
+        return src[:m], fpos[:m], et[:m]
     starts = indptr[frontier]
     counts = indptr[frontier + 1] - starts
     pos = ranges_concat(starts, counts)

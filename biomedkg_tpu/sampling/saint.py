@@ -21,7 +21,18 @@ from .csr import CSRGraph
 def random_walk(graph: CSRGraph, roots: np.ndarray, walk_length: int,
                 rng: np.random.Generator) -> np.ndarray:
     """(B, walk_length+1) visited-node matrix; dead ends repeat the node."""
+    from . import native
+
     indptr, nbr, _, _ = graph.out_csr()
+    lib = native.get_lib()
+    if lib is not None:
+        roots_c = np.ascontiguousarray(roots, np.int64)
+        walks = np.empty((len(roots_c), walk_length + 1), np.int64)
+        seed = int(rng.integers(0, 2**63 - 1))
+        lib.random_walk(native.i64(indptr), native.i64(nbr),
+                        native.i64(roots_c), len(roots_c), walk_length,
+                        seed, native.i64(walks))
+        return walks
     walks = np.empty((len(roots), walk_length + 1), dtype=np.int64)
     walks[:, 0] = roots
     cur = roots.astype(np.int64)
