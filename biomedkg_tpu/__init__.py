@@ -18,3 +18,12 @@ orbax checkpoints and pure-JAX psum-reducible metrics.
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+if _os.environ.get("BIOMEDKG_PLATFORM"):
+    # Test/CI hook: the axon TPU plugin pre-seeds jax_platforms via
+    # sitecustomize, ignoring JAX_PLATFORMS; override explicitly.
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _os.environ["BIOMEDKG_PLATFORM"])
