@@ -8,10 +8,10 @@ test_kge.py:22, node.py:204-211,294).
 A checkpoint is a single ``*.ckpt`` file: a pickle of
 ``{"kind", "hparams", "params", "opt_state", "step", "extras"}`` with all
 jax arrays converted to numpy (host-offloaded, preemption-safe write via
-tmpfile + atomic rename). Orbax is used for async sharded saves when
-requested (``use_orbax=True``); the pickle format stays the interchange
-format because every stage bridge (GCLEncode/KGEEncode globbing
-``ckpt/**/*.ckpt``) expects files.
+tmpfile + atomic rename). This file format is the interchange format
+because every stage bridge (GCLEncode/KGEEncode globbing
+``ckpt/**/*.ckpt``) expects files; ``save_orbax``/``load_orbax`` provide
+an orbax-backed directory variant for sharded/async multi-host saves.
 """
 
 from __future__ import annotations
@@ -55,6 +55,40 @@ def save_checkpoint(path: str, kind: str, hparams: Dict, params: Any,
 def load_checkpoint(path: str) -> Dict:
     with open(path, "rb") as f:
         return pickle.load(f)
+
+
+def save_orbax(dirpath: str, kind: str, hparams: Dict, params: Any,
+               step: int = 0, extras: Optional[Dict] = None) -> None:
+    """Orbax-backed directory checkpoint (sharded, multi-host-safe).
+
+    Parameters go through orbax's PyTree handler; metadata (kind, hparams,
+    step, extras) lands in ``meta.json`` next to it so restore can rebuild
+    the module before asking orbax for the matching pytree structure.
+    """
+    import json
+
+    import orbax.checkpoint as ocp
+
+    dirpath = os.path.abspath(dirpath)
+    ckptr = ocp.PyTreeCheckpointer()
+    ckptr.save(os.path.join(dirpath, "params"), _to_numpy(params),
+               force=True)
+    with open(os.path.join(dirpath, "meta.json"), "w") as f:
+        json.dump({"kind": kind, "hparams": dict(hparams),
+                   "step": int(step), "extras": extras or {}}, f)
+
+
+def load_orbax(dirpath: str) -> Dict:
+    import json
+
+    import orbax.checkpoint as ocp
+
+    dirpath = os.path.abspath(dirpath)
+    with open(os.path.join(dirpath, "meta.json")) as f:
+        meta = json.load(f)
+    params = ocp.PyTreeCheckpointer().restore(
+        os.path.join(dirpath, "params"))
+    return {**meta, "params": params, "opt_state": None}
 
 
 class ModelCheckpoint:
