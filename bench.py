@@ -45,9 +45,12 @@ def make_loader(graph, seed=0):
                                  block_size=BLOCK_SIZE, seed=seed)
 
 
-def bench_jax(tg, batches, warmup=3, steps=20):
+def bench_jax(tg, batches, warmup=2, groups=6, scan_k=8):
+    """Fused-execution training throughput: scan_k steps per dispatch
+    (the framework's production stepping mode, training/stepping.py)."""
     import jax
 
+    from biomedkg_tpu.parallel.dp import stack_batches
     from biomedkg_tpu.training.kge_module import KGEModule
 
     module = KGEModule(
@@ -56,26 +59,29 @@ def bench_jax(tg, batches, warmup=3, steps=20):
         scheduler_type="cosine", learning_rate=1e-3, warm_up_ratio=0.2,
         fuse_method="none", neg_ratio=NEG_RATIO,
         node_init_method="random")
-    module.configure_optimizers(num_training_steps=steps + warmup)
+    module.configure_optimizers(
+        num_training_steps=(warmup + groups) * scan_k)
     rng = jax.random.PRNGKey(0)
     state = module.init_state(rng)
-    step_fn = module._get_train_step()
+    step_fn = module._get_train_steps_scan()
 
-    for i in range(warmup):
+    stacked = stack_batches(batches[:scan_k])
+    edges_per_group = sum(int(np.sum(b.edge_mask))
+                          for b in batches[:scan_k])
+
+    for _ in range(warmup):
         rng, r = jax.random.split(rng)
-        state, loss = step_fn(state, batches[i % len(batches)], r)
+        state, loss = step_fn(state, stacked, r)
     jax.block_until_ready(loss)
 
     t0 = time.perf_counter()
-    for i in range(steps):
+    for _ in range(groups):
         rng, r = jax.random.split(rng)
-        state, loss = step_fn(state, batches[i % len(batches)], r)
+        state, loss = step_fn(state, stacked, r)
     jax.block_until_ready(loss)
     dt = time.perf_counter() - t0
 
-    triplets = sum(
-        int(np.sum(batches[i % len(batches)].edge_mask)) * (1 + NEG_RATIO)
-        for i in range(steps))
+    triplets = groups * edges_per_group * (1 + NEG_RATIO)
     return triplets / dt
 
 

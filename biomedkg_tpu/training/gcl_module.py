@@ -17,7 +17,6 @@ padded batch.
 
 from __future__ import annotations
 
-import functools
 import math
 from typing import Any, Dict, Optional
 
@@ -30,8 +29,8 @@ from ..models.encoders import GCNEncoder
 from ..models.factory import FusionFactory
 from ..models.gcl import DGI, GGD, GRACE
 from .checkpoint import load_checkpoint
-from .kge_module import TrainState
 from .optim import make_optimizer
+from .stepping import JittedStepsMixin, TrainState  # noqa: F401
 
 _LOG2 = math.log(2.0)
 
@@ -90,7 +89,7 @@ def ggd_bce_loss(pos_h, neg_h, node_mask):
     return jnp.sum(loss * w) / jnp.maximum(jnp.sum(w), 1.0)
 
 
-class BaseGCL:
+class BaseGCL(JittedStepsMixin):
     kind = "gcl"
     model_name = "base"
 
@@ -133,12 +132,6 @@ class BaseGCL:
                                  grad_clip)
         self._jit_cache.clear()
 
-    def init_state(self, rng) -> TrainState:
-        params = self.init(rng)
-        assert self.tx is not None, "call configure_optimizers first"
-        return TrainState(params, self.tx.init(params),
-                          jnp.zeros((), jnp.int32))
-
     def fusion_fn(self, params, x, rng=None, training=False):
         """Reference gcl_module.py:43-50."""
         if self.modality_transform is not None:
@@ -156,43 +149,6 @@ class BaseGCL:
         x = self.fusion_fn(params, batch.x, rng=r_fuse, training=training)
         loss = self.calculate_loss(params, x, batch, r_model, training)
         return loss, {"loss": loss}
-
-    def _get_train_step(self):
-        if "train" not in self._jit_cache:
-            tx = self.tx
-
-            @functools.partial(jax.jit, donate_argnums=(0,))
-            def train_step(state: TrainState, batch, rng):
-                def loss_fn(p):
-                    return self._forward_loss(p, batch, rng, training=True)
-
-                (loss, _), grads = jax.value_and_grad(
-                    loss_fn, has_aux=True)(state.params)
-                updates, opt_state = tx.update(grads, state.opt_state,
-                                               state.params)
-                params = optax.apply_updates(state.params, updates)
-                return TrainState(params, opt_state, state.step + 1), loss
-
-            self._jit_cache["train"] = train_step
-        return self._jit_cache["train"]
-
-    def _get_eval_step(self):
-        if "eval" not in self._jit_cache:
-            @jax.jit
-            def eval_step(params, batch, rng):
-                _, aux = self._forward_loss(params, batch, rng,
-                                            training=False)
-                return aux
-
-            self._jit_cache["eval"] = eval_step
-        return self._jit_cache["eval"]
-
-    def train_step(self, state, batch, rng):
-        state, loss = self._get_train_step()(state, batch, rng)
-        return state, {"train_loss": float(loss)}
-
-    def eval_step(self, params, batch, rng):
-        return self._get_eval_step()(params, batch, rng)
 
     def eval_epoch(self, outputs, split: str) -> Dict[str, float]:
         losses = [float(a["loss"]) for a in outputs]

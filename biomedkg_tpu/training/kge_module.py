@@ -24,8 +24,7 @@ re-designed as pure jitted functions over a TrainState:
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Dict, NamedTuple, Optional
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -37,12 +36,7 @@ from ..models.factory import FusionFactory, KGEModelFactory
 from .checkpoint import load_checkpoint
 from .metrics import BootstrappedBinaryMetrics, EdgeWisePrecision
 from .optim import make_optimizer
-
-
-class TrainState(NamedTuple):
-    params: Any
-    opt_state: Any
-    step: jax.Array
+from .stepping import JittedStepsMixin, TrainState  # noqa: F401 (re-export)
 
 
 def _parse_neg_ratio(neg_ratio) -> Optional[int]:
@@ -56,7 +50,7 @@ def _parse_neg_ratio(neg_ratio) -> Optional[int]:
     return int(neg_ratio) or None
 
 
-class KGEModule:
+class KGEModule(JittedStepsMixin):
     kind = "kge"
 
     def __init__(self, encoder_name: str, decoder_name: str, in_dim: int,
@@ -133,12 +127,6 @@ class KGEModule:
                                  grad_clip)
         self._jit_cache.clear()
 
-    def init_state(self, rng) -> TrainState:
-        params = self.init(rng)
-        assert self.tx is not None, "call configure_optimizers first"
-        return TrainState(params, self.tx.init(params),
-                          jnp.zeros((), jnp.int32))
-
     def fusion_fn(self, params, x, rng=None, training=False):
         """Reference kge_module.py:77-84."""
         if self.modality_transform is not None:
@@ -205,45 +193,6 @@ class KGEModule:
                "pos_pred": pos_pred, "edge_type": etype,
                "edge_mask": emask, "loss": loss}
         return loss, aux
-
-    # -- jitted steps ----------------------------------------------------------
-
-    def _get_train_step(self):
-        if "train" not in self._jit_cache:
-            tx = self.tx
-
-            @functools.partial(jax.jit, donate_argnums=(0,))
-            def train_step(state: TrainState, batch, rng):
-                def loss_fn(p):
-                    return self._forward_loss(p, batch, rng, training=True)
-
-                (loss, _), grads = jax.value_and_grad(
-                    loss_fn, has_aux=True)(state.params)
-                updates, opt_state = tx.update(grads, state.opt_state,
-                                               state.params)
-                params = optax.apply_updates(state.params, updates)
-                return TrainState(params, opt_state, state.step + 1), loss
-
-            self._jit_cache["train"] = train_step
-        return self._jit_cache["train"]
-
-    def _get_eval_step(self):
-        if "eval" not in self._jit_cache:
-            @jax.jit
-            def eval_step(params, batch, rng):
-                _, aux = self._forward_loss(params, batch, rng,
-                                            training=False)
-                return aux
-
-            self._jit_cache["eval"] = eval_step
-        return self._jit_cache["eval"]
-
-    def train_step(self, state: TrainState, batch, rng):
-        state, loss = self._get_train_step()(state, batch, rng)
-        return state, {"train_loss": float(loss)}
-
-    def eval_step(self, params, batch, rng):
-        return self._get_eval_step()(params, batch, rng)
 
     # -- eval epoch aggregation --------------------------------------------------
 

@@ -40,7 +40,8 @@ class Trainer:
                  devices=None,
                  deterministic: bool = True,
                  default_root_dir: Optional[str] = None,
-                 enable_progress_bar: bool = True):
+                 enable_progress_bar: bool = True,
+                 steps_per_execution: int = 1):
         self.max_epochs = max_epochs
         self.check_val_every_n_epoch = check_val_every_n_epoch
         self.gradient_clip_val = gradient_clip_val
@@ -50,6 +51,9 @@ class Trainer:
         self.log_every_n_steps = log_every_n_steps
         self.enable_checkpointing = enable_checkpointing and not fast_dev_run
         self.enable_progress_bar = enable_progress_bar
+        # K train steps fused into one device dispatch (lax.scan) — hides
+        # per-step dispatch latency; 1 = classic per-batch stepping.
+        self.steps_per_execution = max(1, steps_per_execution)
         self.current_epoch = 0
         self.global_step = 0
         self.module = None
@@ -101,19 +105,39 @@ class Trainer:
             n_batches = 0
             n_edges = 0
             last_loss = 0.0
+            k = 1 if self.fast_dev_run else self.steps_per_execution
+            pending = []
             for batch in prefetch(iter(train_dataloaders)):
+                pending.append(batch)
+                n_edges += int(np.sum(batch.edge_mask))
+                if len(pending) < k:
+                    continue
+                rng, step_rng = jax.random.split(rng)
+                if k == 1:
+                    self.state, logs = model.train_step(
+                        self.state, pending[0], step_rng)
+                else:
+                    from ..parallel.dp import stack_batches
+
+                    self.state, logs = model.train_steps(
+                        self.state, stack_batches(pending), step_rng)
+                pending = []
+                last_loss = logs["train_loss"]
+                self.global_step += k
+                n_batches += k
+                if self.logger and \
+                        self.global_step % self.log_every_n_steps < k:
+                    self.logger.log(logs, self.global_step)
+                if self.fast_dev_run:
+                    break
+            # leftover batches smaller than one execution group
+            for batch in pending:
                 rng, step_rng = jax.random.split(rng)
                 self.state, logs = model.train_step(self.state, batch,
                                                     step_rng)
                 last_loss = logs["train_loss"]
                 self.global_step += 1
                 n_batches += 1
-                n_edges += int(np.sum(batch.edge_mask))
-                if self.logger and \
-                        self.global_step % self.log_every_n_steps == 0:
-                    self.logger.log(logs, self.global_step)
-                if self.fast_dev_run:
-                    break
             dt = max(time.time() - t0, 1e-9)
             epoch_logs = {
                 "epoch": epoch,
