@@ -65,20 +65,21 @@ def bench_jax(tg, batches, warmup=2, groups=6, scan_k=8):
     state = module.init_state(rng)
     step_fn = module._get_train_steps_scan()
 
-    stacked = stack_batches(batches[:scan_k])
+    stacked = jax.device_put(stack_batches(batches[:scan_k]))
     edges_per_group = sum(int(np.sum(b.edge_mask))
                           for b in batches[:scan_k])
 
     for _ in range(warmup):
         rng, r = jax.random.split(rng)
         state, loss = step_fn(state, stacked, r)
-    jax.block_until_ready(loss)
+    float(loss)  # full value fetch — block_until_ready alone can return at
+    # enqueue time on remote-tunneled devices
 
     t0 = time.perf_counter()
     for _ in range(groups):
         rng, r = jax.random.split(rng)
         state, loss = step_fn(state, stacked, r)
-    jax.block_until_ready(loss)
+        float(loss)
     dt = time.perf_counter() - t0
 
     triplets = groups * edges_per_group * (1 + NEG_RATIO)

@@ -48,10 +48,13 @@ class RGCN:
 
     def __init__(self, in_dim: int, hidden_dim: int, out_dim: int,
                  num_hidden_layers: int, num_relations: int,
-                 drop_out: bool = True):
+                 drop_out: bool = True, remat: bool = False):
         self.dims = _layer_dims(in_dim, hidden_dim, out_dim, num_hidden_layers)
         self.num_relations = num_relations
         self.drop_out = drop_out
+        # jax.checkpoint each conv: trades recompute for activation memory
+        # (full-graph forwards on large graphs).
+        self.remat = remat
 
     def init(self, rng) -> dict:
         layers = []
@@ -80,15 +83,16 @@ class RGCN:
     def apply(self, params, x, edge_index, edge_type, edge_mask, block_rel,
               *, rng: Optional[jax.Array] = None, training: bool = False):
         layers = params["layers"]
+        conv = jax.checkpoint(self._conv) if self.remat else self._conv
         for i, lp in enumerate(layers[:-1]):
             x = jax.nn.relu(
-                self._conv(lp, x, edge_index, edge_type, edge_mask, block_rel))
+                conv(lp, x, edge_index, edge_type, edge_mask, block_rel))
             if self.drop_out:
                 rng, sub = (jax.random.split(rng) if rng is not None
                             else (None, None))
                 x = nn.dropout(sub, x, 0.2, deterministic=not training)
-        return self._conv(layers[-1], x, edge_index, edge_type, edge_mask,
-                          block_rel)
+        return conv(layers[-1], x, edge_index, edge_type, edge_mask,
+                    block_rel)
 
 
 class RGAT:

@@ -58,7 +58,8 @@ class KGEModule(JittedStepsMixin):
                  num_relation: int, num_heads: int, scheduler_type: str,
                  learning_rate: float, warm_up_ratio: float,
                  fuse_method: str, neg_ratio, node_init_method: str,
-                 seed: int = 42):
+                 seed: int = 42, compute_dtype: str = "float32",
+                 remat: bool = False):
         self.hparams = dict(
             encoder_name=encoder_name, decoder_name=decoder_name,
             in_dim=in_dim, hidden_dim=hidden_dim, out_dim=out_dim,
@@ -66,7 +67,12 @@ class KGEModule(JittedStepsMixin):
             num_heads=num_heads, scheduler_type=scheduler_type,
             learning_rate=learning_rate, warm_up_ratio=warm_up_ratio,
             fuse_method=fuse_method, neg_ratio=neg_ratio,
-            node_init_method=node_init_method, seed=seed)
+            node_init_method=node_init_method, seed=seed,
+            compute_dtype=compute_dtype, remat=remat)
+        # bf16 encoder compute (MXU-native) with f32 master weights and
+        # f32 decoding/loss; "float32" = full precision.
+        self.compute_dtype = (jnp.bfloat16 if compute_dtype == "bfloat16"
+                              else jnp.float32)
 
         self.modality_transform = (
             FusionFactory.create_fuser(method=fuse_method, embed_dim=in_dim)
@@ -76,6 +82,7 @@ class KGEModule(JittedStepsMixin):
             in_dim=in_dim, hidden_dim=hidden_dim, out_dim=out_dim,
             num_hidden_layers=num_hidden_layers, num_relation=num_relation,
             num_heads=num_heads)
+        self.model.encoder.remat = bool(remat)
 
         self.lr = learning_rate
         self.scheduler_type = scheduler_type
@@ -148,9 +155,16 @@ class KGEModule(JittedStepsMixin):
         x = self.fusion_fn(params, batch.x, rng=r_fuse, training=training)
         etype, block_rel = self._effective_types(batch)
 
-        z = self.model.encode(params["model"], x, batch.edge_index, etype,
-                              batch.edge_mask, block_rel, rng=r_enc,
-                              training=training)
+        enc_params = params["model"]["encoder"]
+        if self.compute_dtype == jnp.bfloat16:
+            from ..common import tree_cast
+
+            enc_params = tree_cast(enc_params, jnp.bfloat16)
+            x = x.astype(jnp.bfloat16)
+        z = self.model.encoder.apply(enc_params, x, batch.edge_index, etype,
+                                     batch.edge_mask, block_rel, rng=r_enc,
+                                     training=training)
+        z = z.astype(jnp.float32)
 
         src, dst = batch.edge_index[0], batch.edge_index[1]
         emask = batch.edge_mask
