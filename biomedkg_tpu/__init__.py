@@ -21,6 +21,20 @@ __version__ = "0.1.0"
 
 import os as _os
 
+# Persistent XLA compilation cache: remote TPU compiles take minutes; cache
+# hits make reruns of identical programs instant.
+if not _os.environ.get("BIOMEDKG_NO_COMPILE_CACHE"):
+    import jax as _jax_cc
+
+    _cache_dir = _os.environ.get(
+        "BIOMEDKG_COMPILE_CACHE",
+        _os.path.expanduser("~/.cache/biomedkg_jax_cache"))
+    try:
+        _jax_cc.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax_cc.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
 if _os.environ.get("BIOMEDKG_PLATFORM"):
     # Test/CI hook: the axon TPU plugin pre-seeds jax_platforms via
     # sitecustomize, ignoring JAX_PLATFORMS; override explicitly.
