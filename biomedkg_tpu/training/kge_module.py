@@ -180,12 +180,15 @@ class KGEModule(JittedStepsMixin):
                    * num_real_nodes).astype(jnp.int32)
         neg_dst = (jax.random.uniform(r_d, (ratio * num_edges,))
                    * num_real_nodes).astype(jnp.int32)
+        # The reference shuffles the tiled edge types before pairing them
+        # with sampled endpoints (kge_module.py:96-101). Because (neg_src,
+        # neg_dst) are iid uniform and independent of position, shuffling
+        # the type column changes nothing distributionally — the joint law
+        # of (src, dst, type) is identical either way — so the permutation
+        # (a 500k-element sort per step on TPU) is elided.
         neg_type = jnp.tile(etype, ratio)
         neg_mask = jnp.tile(emask, ratio)
-        if self.neg_ratio:
-            perm = jax.random.permutation(r_perm, ratio * num_edges)
-            neg_type = neg_type[perm]
-            neg_mask = neg_mask[perm]
+        del r_perm
         neg_pred = self.model.decode(params["model"], z, neg_src, neg_dst,
                                      neg_type)
 
