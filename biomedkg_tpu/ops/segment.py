@@ -16,9 +16,17 @@ import jax
 import jax.numpy as jnp
 
 
+def take_rows(x: jax.Array, index: jax.Array) -> jax.Array:
+    """Row gather with in-bounds promise (batch construction guarantees it:
+    padding edges target the dummy node, sampled indices are moduli)."""
+    return x.at[index].get(mode="promise_in_bounds")
+
+
 def scatter_add(values: jax.Array, index: jax.Array, num_segments: int) -> jax.Array:
     """Sum ``values`` rows into ``num_segments`` buckets keyed by ``index``."""
-    return jax.ops.segment_sum(values, index, num_segments=num_segments)
+    shape = (num_segments,) + values.shape[1:]
+    return jnp.zeros(shape, values.dtype).at[index].add(
+        values, mode="promise_in_bounds")
 
 
 def scatter_max(values: jax.Array, index: jax.Array, num_segments: int) -> jax.Array:
@@ -41,9 +49,8 @@ def per_dst_relation_counts(
     masks padding edges out of the counts.
     """
     flat = dst * num_relations + edge_type
-    counts = jax.ops.segment_sum(
-        edge_mask.astype(jnp.float32), flat, num_segments=num_nodes * num_relations
-    )
+    counts = jnp.zeros(num_nodes * num_relations, jnp.float32).at[flat].add(
+        edge_mask.astype(jnp.float32), mode="promise_in_bounds")
     return counts.reshape(num_nodes, num_relations)
 
 
