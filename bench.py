@@ -27,14 +27,41 @@ WALK_LENGTH = 10
 BLOCK_SIZE = 256
 
 
-def build_graph():
+class _BenchGraph:
+    """Duck-typed TripletGraph subset used by the bench (cached to disk so
+    driver reruns skip the ~3 min pandas construction)."""
+
+    def __init__(self, graph, num_edge_types):
+        self.graph = graph
+        self.num_edge_types = num_edge_types
+
+
+def build_graph(cache_path="data/bench_graph.npz"):
+    import os
+
+    from biomedkg_tpu.sampling.csr import CSRGraph
+
+    if os.path.exists(cache_path):
+        z = np.load(cache_path)
+        graph = CSRGraph(num_nodes=int(z["num_nodes"]),
+                         edge_index=z["edge_index"],
+                         edge_type=z["edge_type"],
+                         num_relations=int(z["num_relations"]),
+                         x=z["x"])
+        return _BenchGraph(graph, graph.num_relations)
+
     from biomedkg_tpu.data.node_encoders import RandomEncode
     from biomedkg_tpu.data.synthetic import synthetic_triplets
     from biomedkg_tpu.data.triplet import TripletGraph
 
     df = synthetic_triplets(num_gene=27000, num_drug=8000,
                             num_disease=17000, num_edges=1_300_000, seed=42)
-    return TripletGraph(df, encoder=RandomEncode(embed_dim=MODEL["in_dim"]))
+    tg = TripletGraph(df, encoder=RandomEncode(embed_dim=MODEL["in_dim"]))
+    os.makedirs(os.path.dirname(cache_path) or ".", exist_ok=True)
+    np.savez(cache_path, num_nodes=tg.graph.num_nodes,
+             edge_index=tg.graph.edge_index, edge_type=tg.graph.edge_type,
+             num_relations=tg.graph.num_relations, x=tg.graph.x)
+    return tg
 
 
 def make_loader(graph, seed=0):
@@ -45,7 +72,7 @@ def make_loader(graph, seed=0):
                                  block_size=BLOCK_SIZE, seed=seed)
 
 
-def bench_jax(tg, batches, warmup=2, groups=6, scan_k=8):
+def bench_jax(tg, batches, warmup=2, groups=4, scan_k=16):
     """Fused-execution training throughput: scan_k steps per dispatch
     (the framework's production stepping mode, training/stepping.py)."""
     import jax
@@ -172,7 +199,7 @@ def main():
     tg = build_graph()
     loader = make_loader(tg.graph)
     it = iter(loader)
-    batches = [next(it) for _ in range(8)]
+    batches = [next(it) for _ in range(16)]
 
     ours = bench_jax(tg, batches)
     baseline = bench_torch_cpu(tg, batches)
