@@ -81,7 +81,7 @@ class Trainer:
     # -- loops ------------------------------------------------------------------
 
     def fit(self, model, train_dataloaders, val_dataloaders=None,
-            init_params=None):
+            init_params=None, resume_from: Optional[str] = None):
         self.module = model
         epochs = 1 if self.fast_dev_run else self.max_epochs
         steps_per_epoch = (1 if self.fast_dev_run
@@ -91,7 +91,28 @@ class Trainer:
         rng = jax.random.PRNGKey(getattr(model, "seed", 42))
         rng, init_rng = jax.random.split(rng)
         self.state = model.init_state(init_rng)
-        if init_params is not None:
+        start_epoch = 0
+        if resume_from is not None:
+            # preemption recovery: restore params + optimizer state + step,
+            # fast-forward to the interrupted epoch (SURVEY §5 failure row —
+            # the reference has no resume path at all)
+            from .kge_module import TrainState
+
+            ckpt = load_checkpoint(resume_from)
+            assert ckpt["opt_state"] is not None, \
+                "checkpoint lacks optimizer state; cannot resume"
+            step = ckpt["step"]
+            self.state = TrainState(
+                jax.tree_util.tree_map(jax.numpy.asarray, ckpt["params"]),
+                jax.tree_util.tree_map(jax.numpy.asarray,
+                                       ckpt["opt_state"]),
+                jax.numpy.asarray(step, jax.numpy.int32))
+            start_epoch = step // max(steps_per_epoch, 1)
+            self.global_step = int(step)
+            # replay the rng stream to the resume point
+            for _ in range(start_epoch):
+                rng, _ = jax.random.split(rng)
+        elif init_params is not None:
             # warm start (load_from_checkpoint → fit, train_dpi.py:32)
             from .kge_module import TrainState
 
@@ -99,7 +120,7 @@ class Trainer:
                 jax.tree_util.tree_map(jax.numpy.asarray, init_params),
                 model.tx.init(init_params), self.state.step)
 
-        for epoch in range(epochs):
+        for epoch in range(start_epoch, epochs):
             self.current_epoch = epoch
             t0 = time.time()
             n_batches = 0
