@@ -27,6 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from .. import nn
+from ..ops.segment import take_rows
 
 
 class _Decoder:
@@ -55,22 +56,22 @@ class TransE(_Decoder):
         return v / jnp.maximum(jnp.sum(jnp.abs(v), -1, keepdims=True), 1e-12)
 
     def score(self, params, z, head, tail, rel):
-        h = self._l1_normalize(z.at[head].get(mode="promise_in_bounds"))
-        t = self._l1_normalize(z.at[tail].get(mode="promise_in_bounds"))
-        r = params["rel_emb"].at[rel].get(mode="promise_in_bounds")
+        h = self._l1_normalize(take_rows(z, head))
+        t = self._l1_normalize(take_rows(z, tail))
+        r = take_rows(params["rel_emb"], rel)
         return -jnp.sum(jnp.abs(h + r - t), axis=-1)
 
     def score_all_tails(self, params, z, head, rel):
         zn = self._l1_normalize(z)                      # (N, d)
-        h = zn.at[head].get(mode="promise_in_bounds")                  # (E, d)
-        r = params["rel_emb"].at[rel].get(mode="promise_in_bounds")    # (E, d)
+        h = take_rows(zn, head)                  # (E, d)
+        r = take_rows(params["rel_emb"], rel)    # (E, d)
         hr = (h + r)[:, None, :]                        # (E, 1, d)
         return -jnp.sum(jnp.abs(hr - zn[None, :, :]), axis=-1)
 
     def score_all_heads(self, params, z, tail, rel):
         zn = self._l1_normalize(z)
-        t = zn.at[tail].get(mode="promise_in_bounds")
-        r = params["rel_emb"].at[rel].get(mode="promise_in_bounds")
+        t = take_rows(zn, tail)
+        r = take_rows(params["rel_emb"], rel)
         rt = (r - t)[:, None, :]                        # (E, 1, d)
         return -jnp.sum(jnp.abs(zn[None, :, :] + rt), axis=-1)
 
@@ -79,19 +80,19 @@ class DistMult(_Decoder):
     """score = Σ h·r·t (reference decoder.py:41-49)."""
 
     def score(self, params, z, head, tail, rel):
-        h = z.at[head].get(mode="promise_in_bounds")
-        t = z.at[tail].get(mode="promise_in_bounds")
-        r = params["rel_emb"].at[rel].get(mode="promise_in_bounds")
+        h = take_rows(z, head)
+        t = take_rows(z, tail)
+        r = take_rows(params["rel_emb"], rel)
         return jnp.sum(h * r * t, axis=-1)
 
     def score_all_tails(self, params, z, head, rel):
-        h = z.at[head].get(mode="promise_in_bounds")
-        r = params["rel_emb"].at[rel].get(mode="promise_in_bounds")
+        h = take_rows(z, head)
+        r = take_rows(params["rel_emb"], rel)
         return jnp.dot(h * r, z.T, preferred_element_type=jnp.float32)
 
     def score_all_heads(self, params, z, tail, rel):
-        t = z.at[tail].get(mode="promise_in_bounds")
-        r = params["rel_emb"].at[rel].get(mode="promise_in_bounds")
+        t = take_rows(z, tail)
+        r = take_rows(params["rel_emb"], rel)
         return jnp.dot(t * r, z.T, preferred_element_type=jnp.float32)
 
 
@@ -107,16 +108,16 @@ class ComplEx(_Decoder):
         return v[..., :half], v[..., half:]
 
     def score(self, params, z, head, tail, rel):
-        h_re, h_im = self._chunk(z.at[head].get(mode="promise_in_bounds"))
-        t_re, t_im = self._chunk(z.at[tail].get(mode="promise_in_bounds"))
-        r_re, r_im = self._chunk(params["rel_emb"].at[rel].get(mode="promise_in_bounds"))
+        h_re, h_im = self._chunk(take_rows(z, head))
+        t_re, t_im = self._chunk(take_rows(z, tail))
+        r_re, r_im = self._chunk(take_rows(params["rel_emb"], rel))
         s = (h_re * r_re - h_im * r_im) * t_re
         s += (h_re * r_im + h_im * r_re) * t_im
         return jnp.sum(s, axis=-1)
 
     def score_all_tails(self, params, z, head, rel):
-        h_re, h_im = self._chunk(z.at[head].get(mode="promise_in_bounds"))
-        r_re, r_im = self._chunk(params["rel_emb"].at[rel].get(mode="promise_in_bounds"))
+        h_re, h_im = self._chunk(take_rows(z, head))
+        r_re, r_im = self._chunk(take_rows(params["rel_emb"], rel))
         z_re, z_im = self._chunk(z)
         a = h_re * r_re - h_im * r_im                   # (E, d/2)
         b = h_re * r_im + h_im * r_re
@@ -124,8 +125,8 @@ class ComplEx(_Decoder):
                 + jnp.dot(b, z_im.T, preferred_element_type=jnp.float32))
 
     def score_all_heads(self, params, z, tail, rel):
-        t_re, t_im = self._chunk(z.at[tail].get(mode="promise_in_bounds"))
-        r_re, r_im = self._chunk(params["rel_emb"].at[rel].get(mode="promise_in_bounds"))
+        t_re, t_im = self._chunk(take_rows(z, tail))
+        r_re, r_im = self._chunk(take_rows(params["rel_emb"], rel))
         z_re, z_im = self._chunk(z)
         # Re(<h, r, conj(t)>) grouped by h components:
         a = t_re * r_re + t_im * r_im                   # coeff of h_re
@@ -157,14 +158,14 @@ class RotatE(_Decoder):
         return v[..., :half], v[..., half:]
 
     def _rotated(self, params, z, head, rel):
-        h_re, h_im = self._chunk(z.at[head].get(mode="promise_in_bounds"))
-        theta = params["rel_emb"].at[rel].get(mode="promise_in_bounds")
+        h_re, h_im = self._chunk(take_rows(z, head))
+        theta = take_rows(params["rel_emb"], rel)
         c, s = jnp.cos(theta), jnp.sin(theta)
         return h_re * c - h_im * s, h_re * s + h_im * c
 
     def score(self, params, z, head, tail, rel):
         rot_re, rot_im = self._rotated(params, z, head, rel)
-        t_re, t_im = self._chunk(z.at[tail].get(mode="promise_in_bounds"))
+        t_re, t_im = self._chunk(take_rows(z, tail))
         dist = jnp.sqrt(jnp.maximum(
             (rot_re - t_re) ** 2 + (rot_im - t_im) ** 2, 1e-12))
         return self.gamma - jnp.sum(dist, axis=-1)
@@ -180,8 +181,8 @@ class RotatE(_Decoder):
     def score_all_heads(self, params, z, tail, rel):
         # |h∘r - t| = |h - t∘conj(r)| (rotation is an isometry), so rotate
         # the tail backwards and compare against all candidate heads.
-        t_re, t_im = self._chunk(z.at[tail].get(mode="promise_in_bounds"))
-        theta = params["rel_emb"].at[rel].get(mode="promise_in_bounds")
+        t_re, t_im = self._chunk(take_rows(z, tail))
+        theta = take_rows(params["rel_emb"], rel)
         c, s = jnp.cos(theta), jnp.sin(theta)
         bt_re = t_re * c + t_im * s
         bt_im = -t_re * s + t_im * c

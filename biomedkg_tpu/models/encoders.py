@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from .. import nn
+from ..ops.segment import take_rows
 from ..ops import (
     per_dst_relation_counts,
     relation_matmul,
@@ -92,11 +93,10 @@ class RGCN:
                                preferred_element_type=jnp.float32
                                ).astype(x.dtype)
             flat = edge_type.astype(jnp.int32) * num_nodes + src
-            h = h_all.reshape(-1, h_all.shape[-1]).at[flat].get(
-                mode="promise_in_bounds")
+            h = take_rows(h_all.reshape(-1, h_all.shape[-1]), flat)
             h = h * edge_mask[:, None].astype(h.dtype)
         else:
-            msg = x.at[src].get(mode="promise_in_bounds") \
+            msg = take_rows(x, src) \
                 * edge_mask[:, None].astype(x.dtype)
             h = relation_matmul(msg, lp["w_rel"], edge_type, block_rel)
         cnt = per_dst_relation_counts(dst, edge_type, edge_mask, num_nodes,
@@ -158,14 +158,14 @@ class RGAT:
     def _conv(self, lp, x, edge_index, edge_type, edge_mask, block_rel, dout):
         src, dst = edge_index[0], edge_index[1]
         num_nodes, heads = x.shape[0], self.num_heads
-        msg_src = x.at[src].get(mode="promise_in_bounds") * edge_mask[:, None].astype(x.dtype)
-        msg_dst = x.at[dst].get(mode="promise_in_bounds") * edge_mask[:, None].astype(x.dtype)
+        msg_src = take_rows(x, src) * edge_mask[:, None].astype(x.dtype)
+        msg_dst = take_rows(x, dst) * edge_mask[:, None].astype(x.dtype)
         hs = relation_matmul(msg_src, lp["w_rel"], edge_type, block_rel)
         hd = relation_matmul(msg_dst, lp["w_rel"], edge_type, block_rel)
         hs = hs.reshape(-1, heads, dout)
         hd = hd.reshape(-1, heads, dout)
-        a_src = lp["att_src"].at[edge_type].get(mode="promise_in_bounds")   # (E, H, dh)
-        a_dst = lp["att_dst"].at[edge_type].get(mode="promise_in_bounds")
+        a_src = take_rows(lp["att_src"], edge_type)   # (E, H, dh)
+        a_dst = take_rows(lp["att_dst"], edge_type)
         logits = jax.nn.leaky_relu(
             jnp.sum(hs * a_src, -1) + jnp.sum(hd * a_dst, -1), 0.2)  # (E, H)
         alpha = segment_softmax(logits, dst, num_nodes, mask=edge_mask)
@@ -220,7 +220,7 @@ class GCNEncoder:
         deg = scatter_add(em[:, None], dst, num_nodes)[:, 0] + 1.0  # +self-loop
         dis = jax.lax.rsqrt(deg)
         norm_e = dis[src] * dis[dst] * em
-        agg = scatter_add(h.at[src].get(mode="promise_in_bounds") * norm_e[:, None], dst,
+        agg = take_rows(scatter_add(h, src) * norm_e[:, None], dst,
                           num_nodes)
         agg = agg + h * (1.0 / deg)[:, None]  # self-loop term
         return agg + lp["b"]

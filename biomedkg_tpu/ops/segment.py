@@ -16,10 +16,11 @@ import jax
 import jax.numpy as jnp
 
 
-def take_rows(x: jax.Array, index: jax.Array) -> jax.Array:
+def take_rows(x, index) -> jax.Array:
     """Row gather with in-bounds promise (batch construction guarantees it:
     padding edges target the dummy node, sampled indices are moduli)."""
-    return x.at[index].get(mode="promise_in_bounds")
+    return jnp.asarray(x).at[jnp.asarray(index)].get(
+        mode="promise_in_bounds")
 
 
 def scatter_add(values: jax.Array, index: jax.Array, num_segments: int) -> jax.Array:
