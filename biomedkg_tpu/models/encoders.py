@@ -220,7 +220,7 @@ class GCNEncoder:
         deg = scatter_add(em[:, None], dst, num_nodes)[:, 0] + 1.0  # +self-loop
         dis = jax.lax.rsqrt(deg)
         norm_e = dis[src] * dis[dst] * em
-        agg = take_rows(scatter_add(h, src) * norm_e[:, None], dst,
+        agg = scatter_add(take_rows(h, src) * norm_e[:, None], dst,
                           num_nodes)
         agg = agg + h * (1.0 / deg)[:, None]  # self-loop term
         return agg + lp["b"]
