@@ -90,13 +90,16 @@ class JittedStepsMixin:
 
     def train_step(self, state, batch, rng):
         state, loss = self._get_train_step()(state, batch, rng)
-        return state, {"train_loss": float(loss)}
+        # loss stays a device array — fetching it here would force a sync
+        # every step (costly over a tunneled device); callers convert
+        # lazily when they actually log.
+        return state, {"train_loss": loss}
 
     def train_steps(self, state, stacked_batches, rng):
         """K fused steps; returns (state, logs) with the last step's loss."""
         state, loss = self._get_train_steps_scan()(state, stacked_batches,
                                                    rng)
-        return state, {"train_loss": float(loss)}
+        return state, {"train_loss": loss}
 
     def eval_step(self, params, batch, rng):
         return self._get_eval_step()(params, batch, rng)

@@ -160,6 +160,8 @@ class Trainer:
                 self.global_step += 1
                 n_batches += 1
             dt = max(time.time() - t0, 1e-9)
+            # single device sync per epoch (losses stay on device in-loop)
+            last_loss = float(last_loss)
             epoch_logs = {
                 "epoch": epoch,
                 "train_loss_epoch": last_loss,
