@@ -106,7 +106,9 @@ def bench_jax(tg, batches, warmup=2, groups=4, scan_k=16):
     for _ in range(groups):
         rng, r = jax.random.split(rng)
         state, loss = step_fn(state, stacked, r)
-        float(loss)
+    # one fetch at the end: the state-chain data dependency guarantees all
+    # groups completed when the final loss value arrives
+    float(loss)
     dt = time.perf_counter() - t0
 
     triplets = groups * edges_per_group * (1 + NEG_RATIO)

@@ -80,6 +80,14 @@ def make_loader(graph: CSRGraph, loader_type: str, batch_size: int,
     raise ValueError(f"Unknown loader_type: {loader_type!r}")
 
 
+def prefetch_to_device(iterable: Iterable, size: int = 2) -> Iterator:
+    """Prefetch + async device transfer: batches are device_put from the
+    worker thread so host→HBM copies overlap device compute."""
+    import jax
+
+    return prefetch((jax.device_put(item) for item in iterable), size=size)
+
+
 def prefetch(iterable: Iterable, size: int = 2) -> Iterator:
     """Run an iterator in a background thread with a bounded queue."""
     q: queue.Queue = queue.Queue(maxsize=size)

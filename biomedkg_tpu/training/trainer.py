@@ -127,38 +127,25 @@ class Trainer:
             n_edges = 0
             last_loss = 0.0
             k = 1 if self.fast_dev_run else self.steps_per_execution
-            pending = []
-            for batch in prefetch(iter(train_dataloaders)):
-                pending.append(batch)
-                n_edges += int(np.sum(batch.edge_mask))
-                if len(pending) < k:
-                    continue
+            for kind, batch, steps, edges in prefetch(
+                    self._train_stream(train_dataloaders, k)):
                 rng, step_rng = jax.random.split(rng)
-                if k == 1:
-                    self.state, logs = model.train_step(
-                        self.state, pending[0], step_rng)
+                if kind == "group":
+                    self.state, logs = model.train_steps(self.state, batch,
+                                                         step_rng)
                 else:
-                    from ..parallel.dp import stack_batches
-
-                    self.state, logs = model.train_steps(
-                        self.state, stack_batches(pending), step_rng)
-                pending = []
+                    self.state, logs = model.train_step(self.state, batch,
+                                                        step_rng)
                 last_loss = logs["train_loss"]
-                self.global_step += k
-                n_batches += k
+                self.global_step += steps
+                n_batches += steps
+                n_edges += edges
                 if self.logger and \
-                        self.global_step % self.log_every_n_steps < k:
-                    self.logger.log(logs, self.global_step)
+                        self.global_step % self.log_every_n_steps < steps:
+                    self.logger.log({"train_loss": float(last_loss)},
+                                    self.global_step)
                 if self.fast_dev_run:
                     break
-            # leftover batches smaller than one execution group
-            for batch in pending:
-                rng, step_rng = jax.random.split(rng)
-                self.state, logs = model.train_step(self.state, batch,
-                                                    step_rng)
-                last_loss = logs["train_loss"]
-                self.global_step += 1
-                n_batches += 1
             dt = max(time.time() - t0, 1e-9)
             # single device sync per epoch (losses stay on device in-loop)
             last_loss = float(last_loss)
@@ -199,6 +186,29 @@ class Trainer:
                     print(f"[early stop] epoch {epoch}")
                 break
         return self.state
+
+    @staticmethod
+    def _train_stream(loader, k: int):
+        """Group batches into fused-execution units, stack + device_put in
+        the prefetch worker so host packing and H2D transfers overlap the
+        device's previous step. Yields (kind, device_batch, steps, edges)."""
+        import jax as _jax
+
+        from ..parallel.dp import stack_batches
+
+        pending = []
+        for batch in loader:
+            pending.append(batch)
+            if len(pending) == k:
+                edges = sum(int(np.sum(b.edge_mask)) for b in pending)
+                if k > 1:
+                    yield ("group", _jax.device_put(stack_batches(pending)),
+                           k, edges)
+                else:
+                    yield ("single", _jax.device_put(pending[0]), 1, edges)
+                pending = []
+        for b in pending:  # leftovers smaller than one group
+            yield ("single", _jax.device_put(b), 1, int(np.sum(b.edge_mask)))
 
     def _eval_loop(self, model, params, dataloader, split: str, rng):
         outputs = []
