@@ -203,8 +203,10 @@ def main():
     it = iter(loader)
     batches = [next(it) for _ in range(16)]
 
-    ours = bench_jax(tg, batches)
+    # baseline first: keeps the CPU quiet of jax dispatch threads while the
+    # reference-equivalent torch step is timed
     baseline = bench_torch_cpu(tg, batches)
+    ours = bench_jax(tg, batches)
 
     print(json.dumps({
         "metric": "kge_train_triplets_per_sec",

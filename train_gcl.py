@@ -59,7 +59,8 @@ def main(cfg):
         fast_dev_run=cfg.debug,
         log_every_n_steps=10,
         deterministic=True,
-        devices=cfg.devices)
+        devices=cfg.devices,
+        steps_per_execution=cfg.get("steps_per_execution", 1))
 
     trainer.fit(
         model,
