@@ -47,7 +47,11 @@ class Config(dict):
                 and isinstance(self[key], dict)
                 and isinstance(value, dict)
             ):
-                Config._wrap(self[key]).merge(value)
+                node = self[key]
+                if not isinstance(node, Config):
+                    node = Config._wrap(node)
+                    self[key] = node
+                node.merge(value)
             else:
                 self[key] = Config._wrap(value)
         return self

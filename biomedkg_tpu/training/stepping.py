@@ -88,6 +88,25 @@ class JittedStepsMixin:
             self._jit_cache["eval"] = eval_step
         return self._jit_cache["eval"]
 
+    def _get_eval_steps_scan(self):
+        if "eval_scan" not in self._jit_cache:
+            @jax.jit
+            def eval_steps(params, batches, rng):
+                k = jax.tree_util.tree_leaves(batches)[0].shape[0]
+                rngs = jax.random.split(rng, k)
+
+                def body(_, xs):
+                    batch, r = xs
+                    _, aux = self._forward_loss(params, batch, r,
+                                                training=False)
+                    return None, aux
+
+                _, auxes = jax.lax.scan(body, None, (batches, rngs))
+                return auxes  # stacked along a leading K axis
+
+            self._jit_cache["eval_scan"] = eval_steps
+        return self._jit_cache["eval_scan"]
+
     def train_step(self, state, batch, rng):
         state, loss = self._get_train_step()(state, batch, rng)
         # loss stays a device array — fetching it here would force a sync
@@ -103,3 +122,11 @@ class JittedStepsMixin:
 
     def eval_step(self, params, batch, rng):
         return self._get_eval_step()(params, batch, rng)
+
+    def eval_steps(self, params, stacked_batches, rng):
+        """K fused eval batches per dispatch; returns a list of aux dicts
+        (unstacked along the leading axis)."""
+        auxes = self._get_eval_steps_scan()(params, stacked_batches, rng)
+        k = jax.tree_util.tree_leaves(auxes)[0].shape[0]
+        return [jax.tree_util.tree_map(lambda a: a[i], auxes)
+                for i in range(k)]

@@ -211,10 +211,15 @@ class Trainer:
             yield ("single", _jax.device_put(b), 1, int(np.sum(b.edge_mask)))
 
     def _eval_loop(self, model, params, dataloader, split: str, rng):
+        k = 1 if self.fast_dev_run else self.steps_per_execution
         outputs = []
-        for batch in prefetch(iter(dataloader)):
+        for kind, batch, steps, _ in prefetch(
+                self._train_stream(dataloader, k)):
             rng, step_rng = jax.random.split(rng)
-            outputs.append(model.eval_step(params, batch, step_rng))
+            if kind == "group":
+                outputs.extend(model.eval_steps(params, batch, step_rng))
+            else:
+                outputs.append(model.eval_step(params, batch, step_rng))
             if self.fast_dev_run:
                 break
         return model.eval_epoch(outputs, split)
