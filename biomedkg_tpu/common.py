@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import os
 import re
-from typing import Any, Iterator, List, Sequence
+from typing import Any, Iterator, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -13,8 +13,6 @@ so no shapes ever change and one compiled step serves all batches.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 

@@ -22,7 +22,7 @@ import jax
 import numpy as np
 
 from ..sampling.loaders import prefetch
-from .checkpoint import (EarlyStopping, ModelCheckpoint, load_checkpoint,
+from .checkpoint import (ModelCheckpoint, load_checkpoint,
                          save_checkpoint)
 from .logger import MetricsLogger
 
