@@ -16,18 +16,61 @@ import jax
 import jax.numpy as jnp
 
 
+import functools
+
+
+def _fast_gather(x, index):
+    return jnp.take(x, index, axis=0, mode="clip")
+
+
+def _fast_scatter(values, index, num_segments):
+    return jax.ops.segment_sum(values, index, num_segments=num_segments)
+
+
+@jax.custom_vjp
 def take_rows(x, index) -> jax.Array:
-    """Row gather with in-bounds promise (batch construction guarantees it:
-    padding edges target the dummy node, sampled indices are moduli)."""
-    return jnp.asarray(x).at[jnp.asarray(index)].get(
-        mode="promise_in_bounds")
+    """Row gather with an explicitly-paired backward.
+
+    TPU microbenchmarks (PERF.md) show XLA's mode choices swing gather /
+    scatter cost by 100-1000×: clip-mode gathers and segment_sum scatters
+    are the fast lowerings, while e.g. the autodiff transpose of a
+    promise-in-bounds gather lowers to a catastrophically slow scatter.
+    This custom VJP pins the fast pair: clip gather forward, segment_sum
+    backward. Indices are in-bounds by batch construction (padding edges
+    target the dummy node; sampled indices are moduli).
+    """
+    return _fast_gather(jnp.asarray(x), jnp.asarray(index))
 
 
-def scatter_add(values: jax.Array, index: jax.Array, num_segments: int) -> jax.Array:
-    """Sum ``values`` rows into ``num_segments`` buckets keyed by ``index``."""
-    shape = (num_segments,) + values.shape[1:]
-    return jnp.zeros(shape, values.dtype).at[index].add(
-        values, mode="promise_in_bounds")
+def _take_rows_fwd(x, index):
+    return take_rows(x, index), (index, x.shape[0])
+
+
+def _take_rows_bwd(res, g):
+    index, n = res
+    return _fast_scatter(g, index, n), None
+
+
+take_rows.defvjp(_take_rows_fwd, _take_rows_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def scatter_add(values: jax.Array, index: jax.Array,
+                num_segments: int) -> jax.Array:
+    """Sum ``values`` rows into ``num_segments`` buckets keyed by ``index``,
+    with the backward pinned to the fast clip-mode gather (see take_rows)."""
+    return _fast_scatter(values, index, num_segments)
+
+
+def _scatter_add_fwd(values, index, num_segments):
+    return _fast_scatter(values, index, num_segments), index
+
+
+def _scatter_add_bwd(num_segments, index, g):
+    return _fast_gather(g, index), None
+
+
+scatter_add.defvjp(_scatter_add_fwd, _scatter_add_bwd)
 
 
 def scatter_max(values: jax.Array, index: jax.Array, num_segments: int) -> jax.Array:
@@ -50,8 +93,8 @@ def per_dst_relation_counts(
     masks padding edges out of the counts.
     """
     flat = dst * num_relations + edge_type
-    counts = jnp.zeros(num_nodes * num_relations, jnp.float32).at[flat].add(
-        edge_mask.astype(jnp.float32), mode="promise_in_bounds")
+    counts = jax.ops.segment_sum(edge_mask.astype(jnp.float32), flat,
+                                 num_segments=num_nodes * num_relations)
     return counts.reshape(num_nodes, num_relations)
 
 
