@@ -39,6 +39,21 @@ class _Decoder:
         return {"rel_emb": nn.xavier_uniform(
             rng, (self.num_relations, self.hidden_channels))}
 
+    def score_neg(self, params, z, neg_src, neg_dst, rel):
+        """Score (K, E) negative endpoint sets sharing one (E,) relation
+        column. Gathers relation rows ONCE and broadcasts over the K
+        corruption sets — profiling showed the tiled per-negative relation
+        gather materializing a (K·E, d) array was a top HBM consumer
+        (PERF.md trace analysis). Default: per-decoder broadcast form."""
+        k, e = neg_src.shape
+        h = take_rows(z, neg_src.reshape(-1)).reshape(k, e, -1)
+        t = take_rows(z, neg_dst.reshape(-1)).reshape(k, e, -1)
+        r = take_rows(params["rel_emb"], rel)  # (E, d)
+        return self._combine(h, r[None], t)
+
+    def _combine(self, h, r, t):  # pragma: no cover - overridden
+        raise NotImplementedError
+
 
 class TransE(_Decoder):
     """score = -|| L1norm(h) + r - L1norm(t) ||_1 (reference decoder.py:21-38)."""
@@ -54,6 +69,11 @@ class TransE(_Decoder):
     @staticmethod
     def _l1_normalize(v):
         return v / jnp.maximum(jnp.sum(jnp.abs(v), -1, keepdims=True), 1e-12)
+
+    def _combine(self, h, r, t):
+        h = self._l1_normalize(h)
+        t = self._l1_normalize(t)
+        return -jnp.sum(jnp.abs(h + r - t), axis=-1)
 
     def score(self, params, z, head, tail, rel):
         h = self._l1_normalize(take_rows(z, head))
@@ -78,6 +98,9 @@ class TransE(_Decoder):
 
 class DistMult(_Decoder):
     """score = Σ h·r·t (reference decoder.py:41-49)."""
+
+    def _combine(self, h, r, t):
+        return jnp.sum(h * r * t, axis=-1)
 
     def score(self, params, z, head, tail, rel):
         h = take_rows(z, head)
@@ -106,6 +129,14 @@ class ComplEx(_Decoder):
     def _chunk(self, v):
         half = self.hidden_channels // 2
         return v[..., :half], v[..., half:]
+
+    def _combine(self, h, r, t):
+        h_re, h_im = self._chunk(h)
+        t_re, t_im = self._chunk(t)
+        r_re, r_im = self._chunk(r)
+        s = (h_re * r_re - h_im * r_im) * t_re
+        s += (h_re * r_im + h_im * r_re) * t_im
+        return jnp.sum(s, axis=-1)
 
     def score(self, params, z, head, tail, rel):
         h_re, h_im = self._chunk(take_rows(z, head))
@@ -156,6 +187,16 @@ class RotatE(_Decoder):
     def _chunk(self, v):
         half = self.hidden_channels // 2
         return v[..., :half], v[..., half:]
+
+    def _combine(self, h, r, t):
+        h_re, h_im = self._chunk(h)
+        t_re, t_im = self._chunk(t)
+        c, s = jnp.cos(r), jnp.sin(r)
+        rot_re = h_re * c - h_im * s
+        rot_im = h_re * s + h_im * c
+        dist = jnp.sqrt(jnp.maximum(
+            (rot_re - t_re) ** 2 + (rot_im - t_im) ** 2, 1e-12))
+        return self.gamma - jnp.sum(dist, axis=-1)
 
     def _rotated(self, params, z, head, rel):
         h_re, h_im = self._chunk(take_rows(z, head))

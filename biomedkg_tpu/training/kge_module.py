@@ -171,31 +171,34 @@ class KGEModule(JittedStepsMixin):
         pos_pred = self.model.decode(params["model"], z, src, dst, etype)
 
         # --- on-device negative sampling (kge_module.py:86-102) ---
+        # Negatives are K = neg_ratio corruption sets of shape (K, E) whose
+        # relation column is shared with the positives; score_neg gathers
+        # the relation rows once (trace-driven optimization, PERF.md).
+        # The reference shuffles the tiled edge types before pairing them
+        # with sampled endpoints (kge_module.py:96-101); because (neg_src,
+        # neg_dst) are iid uniform and independent of position, the shuffle
+        # changes nothing distributionally and is elided (it cost a
+        # 500k-element sort per step on TPU).
         ratio = self.neg_ratio or 1
         num_edges = etype.shape[0]
         num_real_nodes = jnp.maximum(
             jnp.sum(batch.node_mask.astype(jnp.int32)), 1)
         r_s, r_d = jax.random.split(r_neg)
-        neg_src = (jax.random.uniform(r_s, (ratio * num_edges,))
+        neg_src = (jax.random.uniform(r_s, (ratio, num_edges))
                    * num_real_nodes).astype(jnp.int32)
-        neg_dst = (jax.random.uniform(r_d, (ratio * num_edges,))
+        neg_dst = (jax.random.uniform(r_d, (ratio, num_edges))
                    * num_real_nodes).astype(jnp.int32)
-        # The reference shuffles the tiled edge types before pairing them
-        # with sampled endpoints (kge_module.py:96-101). Because (neg_src,
-        # neg_dst) are iid uniform and independent of position, shuffling
-        # the type column changes nothing distributionally — the joint law
-        # of (src, dst, type) is identical either way — so the permutation
-        # (a 500k-element sort per step on TPU) is elided.
-        neg_type = jnp.tile(etype, ratio)
-        neg_mask = jnp.tile(emask, ratio)
         del r_perm
-        neg_pred = self.model.decode(params["model"], z, neg_src, neg_dst,
-                                     neg_type)
+        neg_pred = self.model.decoder.score_neg(
+            params["model"]["decoder"], z, neg_src, neg_dst,
+            etype).reshape(-1)
+        neg_mask = jnp.broadcast_to(emask[None], (ratio, num_edges))
 
         pred = jnp.concatenate([pos_pred, neg_pred])
         gt = jnp.concatenate([jnp.ones_like(pos_pred),
                               jnp.zeros_like(neg_pred)])
-        weights = jnp.concatenate([emask, neg_mask]).astype(pred.dtype)
+        weights = jnp.concatenate(
+            [emask, neg_mask.reshape(-1)]).astype(pred.dtype)
 
         bce = nn.sigmoid_binary_cross_entropy(pred, gt, weights)
         nmask = batch.node_mask.astype(z.dtype)
