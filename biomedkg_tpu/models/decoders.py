@@ -48,8 +48,10 @@ class _Decoder:
         k, e = neg_src.shape
         h = take_rows(z, neg_src.reshape(-1)).reshape(k, e, -1)
         t = take_rows(z, neg_dst.reshape(-1)).reshape(k, e, -1)
-        r = take_rows(params["rel_emb"], rel)  # (E, d)
-        return self._combine(h, r[None], t)
+        # follow z's dtype: in bf16 mixed-precision mode the (K·E, d)
+        # gathers/products halve their HBM traffic
+        r = take_rows(params["rel_emb"], rel).astype(z.dtype)  # (E, d)
+        return self._combine(h, r[None], t).astype(jnp.float32)
 
     def _combine(self, h, r, t):  # pragma: no cover - overridden
         raise NotImplementedError

@@ -189,8 +189,10 @@ class KGEModule(JittedStepsMixin):
         neg_dst = (jax.random.uniform(r_d, (ratio, num_edges))
                    * num_real_nodes).astype(jnp.int32)
         del r_perm
+        z_neg = (z.astype(jnp.bfloat16)
+                 if self.compute_dtype == jnp.bfloat16 else z)
         neg_pred = self.model.decoder.score_neg(
-            params["model"]["decoder"], z, neg_src, neg_dst,
+            params["model"]["decoder"], z_neg, neg_src, neg_dst,
             etype).reshape(-1)
         neg_mask = jnp.broadcast_to(emask[None], (ratio, num_edges))
 
