@@ -92,6 +92,37 @@ def test_gcl_encode_bridge(workspace):
     assert np.isfinite(out).all()
 
 
+def test_kge_from_gcl_init(workspace):
+    """Stage B → C: KGE training initialized from GCL embeddings
+    (node_init_method='gcl', the reference's flagship multimodal config)."""
+    from biomedkg_tpu.data.modules import PrimeKGModule
+    from biomedkg_tpu.training.kge_module import KGEModule
+    from biomedkg_tpu.training.trainer import Trainer
+
+    for nt in ["gene", "drug", "disease"]:
+        _train_tiny_gcl(nt)
+
+    dm = PrimeKGModule(data_dir="./data/primekg", embed_dim=DIM,
+                       node_type=["gene/protein", "drug", "disease"],
+                       batch_size=8, val_ratio=0.2, test_ratio=0.2,
+                       node_init_method="gcl", gcl_model="ggd",
+                       gcl_fuse_method="attention", block_size=64)
+    dm.setup("split")
+    assert dm.graph.x.shape[1:] == (1, DIM)  # GCL cache rows
+
+    model = KGEModule(
+        encoder_name="rgcn", decoder_name="dismult", in_dim=DIM,
+        hidden_dim=DIM, out_dim=DIM, num_hidden_layers=1,
+        num_relation=dm.data.num_edge_types, num_heads=2,
+        scheduler_type="cosine", learning_rate=1e-3, warm_up_ratio=0.2,
+        fuse_method="none", neg_ratio=1, node_init_method="gcl")
+    trainer = Trainer(max_epochs=1, fast_dev_run=True,
+                      enable_progress_bar=False)
+    trainer.fit(model, dm.train_dataloader("saint"),
+                dm.val_dataloader("saint"))
+    assert np.isfinite(trainer.history[0]["train_loss_epoch"])
+
+
 def test_kge_encode_and_ml_exp(workspace, repo_root):
     from biomedkg_tpu.data.modules import PrimeKGModule
     from biomedkg_tpu.training.kge_module import KGEModule
