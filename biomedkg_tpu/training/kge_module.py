@@ -39,27 +39,6 @@ from .optim import make_optimizer
 from .stepping import JittedStepsMixin, TrainState  # noqa: F401 (re-export)
 
 
-def _block_sorted_uniform_indices(rng, k: int, num_edges: int, block: int,
-                                  num_real_nodes) -> jax.Array:
-    """(k, num_edges) iid-uniform node indices, emitted per-block sorted
-    then randomly rolled (distribution-exact; see call site)."""
-    r_u, r_roll = jax.random.split(rng)
-    while num_edges % block:  # static shapes: shrink to a divisor
-        block //= 2
-    block = max(block, 1)
-    nblocks = num_edges // block
-    # sorted uniforms via normalized exponential spacings
-    g = -jnp.log1p(-jax.random.uniform(r_u, (k, nblocks, block + 1)))
-    c = jnp.cumsum(g[..., :block], axis=-1)
-    u = c / (c[..., -1:] + g[..., block:])
-    # random cyclic roll per (set, block)
-    roll = jax.random.randint(r_roll, (k, nblocks, 1), 0, block)
-    pos = (jnp.arange(block)[None, None, :] + roll) % block
-    u = jnp.take_along_axis(u, pos, axis=-1)
-    idx = (u.reshape(k, nblocks * block) * num_real_nodes).astype(jnp.int32)
-    return jnp.minimum(idx, num_real_nodes - 1)
-
-
 def _parse_neg_ratio(neg_ratio) -> Optional[int]:
     """Handle the reference's ``neg_ratio: none`` YAML-string quirk
     (configs/dpi.yaml:14)."""
@@ -205,17 +184,8 @@ class KGEModule(JittedStepsMixin):
         num_real_nodes = jnp.maximum(
             jnp.sum(batch.node_mask.astype(jnp.int32)), 1)
         r_s, r_d = jax.random.split(r_neg)
-        # src side: per-256-block *sorted* uniforms (order statistics via
-        # exponential spacings — no sort op) with a random cyclic roll per
-        # block. Distributionally exact: the block multiset equals an iid
-        # uniform sample and the roll makes every position's marginal
-        # uniform; pairing with the iid dst side is therefore identical in
-        # law to iid pairs. The payoff is runtime scatter locality — TPU
-        # scatter-add serializes on index conflicts, and the backward
-        # z-grad scatter of the (K·E, d) negative gathers was the top
-        # profiled cost (PERF.md trace attribution).
-        neg_src = _block_sorted_uniform_indices(
-            r_s, ratio, num_edges, 256, num_real_nodes)
+        neg_src = (jax.random.uniform(r_s, (ratio, num_edges))
+                   * num_real_nodes).astype(jnp.int32)
         neg_dst = (jax.random.uniform(r_d, (ratio, num_edges))
                    * num_real_nodes).astype(jnp.int32)
         del r_perm
