@@ -31,7 +31,11 @@ if not _os.environ.get("BIOMEDKG_NO_COMPILE_CACHE"):
         _os.path.expanduser("~/.cache/biomedkg_jax_cache"))
     try:
         _jax_cc.config.update("jax_compilation_cache_dir", _cache_dir)
-        _jax_cc.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        # 10s threshold: caches the minutes-long remote TPU compiles while
+        # skipping small CPU programs (their AOT results carry machine
+        # feature strings that can mismatch across runs → SIGILL risk).
+        _jax_cc.config.update("jax_persistent_cache_min_compile_time_secs",
+                              10.0)
     except Exception:
         pass
 
