@@ -108,22 +108,45 @@ class _BaseModule:
             shuffle=shuffle, block_size=self.block_size,
             seed=self.seed + seed_offset, node_budget=nb, edge_budget=eb)
 
+    def _full(self, split, steps):
+        # TPU-native extra mode beyond the reference: full-batch training —
+        # the whole (train-split) graph as one padded batch per step.
+        # PrimeKG++ fits a single chip's HBM comfortably; larger graphs use
+        # parallel/graph_shard.py.
+        loader = FullGraphLoader(split.graph, block_size=self.block_size)
+
+        class _Repeat:
+            def __iter__(self):
+                for _ in range(steps):
+                    yield loader.batch()
+
+            def __len__(self):
+                return steps
+
+        return _Repeat()
+
     def train_dataloader(self, loader_type: str = "neighbor"):
-        assert loader_type in ("neighbor", "saint")
+        assert loader_type in ("neighbor", "saint", "full")
         if loader_type == "saint":
             return self._saint(self.train_data, self.SAINT_TRAIN_STEPS, 1)
+        if loader_type == "full":
+            return self._full(self.train_data, self.SAINT_TRAIN_STEPS)
         return self._neighbor(self.train_data, shuffle=True, seed_offset=1)
 
     def val_dataloader(self, loader_type: str = "neighbor"):
-        assert loader_type in ("neighbor", "saint")
+        assert loader_type in ("neighbor", "saint", "full")
         if loader_type == "saint":
             return self._saint(self.val_data, self.SAINT_EVAL_STEPS, 2)
+        if loader_type == "full":
+            return self._full(self.val_data, 1)
         return self._neighbor(self.val_data, shuffle=False, seed_offset=2)
 
     def test_dataloader(self, loader_type: str = "neighbor"):
-        assert loader_type in ("neighbor", "saint")
+        assert loader_type in ("neighbor", "saint", "full")
         if loader_type == "saint":
             return self._saint(self.test_data, self.SAINT_EVAL_STEPS, 3)
+        if loader_type == "full":
+            return self._full(self.test_data, 1)
         return self._neighbor(self.test_data, shuffle=False, seed_offset=3)
 
     def all_dataloader(self):
