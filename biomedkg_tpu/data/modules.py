@@ -58,6 +58,11 @@ class _BaseModule:
         self.test_ratio = test_ratio
         self.seed = seed
         self.block_size = block_size
+        # True → loaders omit features from batches (node_ids only); the
+        # training module holds the full feature table in device HBM and
+        # gathers on device. Avoids shipping MBs of features per batch over
+        # slow host→device links.
+        self.device_features = False
 
     def _post_setup(self, dataset):
         self.edge_map_index = dataset.edge_map_index
@@ -93,7 +98,8 @@ class _BaseModule:
             split.graph, batch_size=self.batch_size,
             walk_length=self.SAINT_WALK_LENGTH, num_steps=num_steps,
             block_size=self.block_size, seed=self.seed + seed_offset,
-            node_budget=nb, edge_budget=eb)
+            node_budget=nb, edge_budget=eb,
+            with_features=not self.device_features)
 
     def _neighbor(self, split, shuffle, seed_offset):
         if self._neighbor_budgets is None:
@@ -106,7 +112,8 @@ class _BaseModule:
         return NeighborBatchLoader(
             split.graph, batch_size=self.batch_size, fanouts=self.FANOUTS,
             shuffle=shuffle, block_size=self.block_size,
-            seed=self.seed + seed_offset, node_budget=nb, edge_budget=eb)
+            seed=self.seed + seed_offset, node_budget=nb, edge_budget=eb,
+            with_features=not self.device_features)
 
     def _full(self, split, steps):
         # TPU-native extra mode beyond the reference: full-batch training —

@@ -39,6 +39,12 @@ def _load_dataframe(data_dir: str) -> pd.DataFrame:
                 os.remove(csv_path)
             print("[biomedkg_tpu] PrimeKG csv unavailable (no egress); "
                   "falling back to the synthetic PrimeKG-schema graph.")
+            if os.environ.get("BIOMEDKG_SYNTHETIC_SCALE") == "primekg":
+                # full PrimeKG++-scale synthetic graph (node/edge counts of
+                # the real dataset filtered to gene/drug/disease)
+                return synthetic_triplets(num_gene=27000, num_drug=8000,
+                                          num_disease=17000,
+                                          num_edges=1_300_000, seed=42)
             return synthetic_triplets(seed=42)
     return pd.read_csv(csv_path, low_memory=False)
 

@@ -24,19 +24,26 @@ import numpy as np
 
 
 class GraphBatch(NamedTuple):
-    """Device-ready padded subgraph. All arrays have static shapes."""
+    """Device-ready padded subgraph. All arrays have static shapes.
 
-    x: np.ndarray            # (N_pad, D) or (N_pad, M, D) node features
+    ``x`` may be an EMPTY (0,) placeholder when the run keeps the global
+    node-feature table resident in device HBM — batches then carry only
+    ``node_ids`` (global ids, ~KB instead of ~MB per batch) and features
+    are gathered on device. This matters on hosts with slow H2D links.
+    """
+
+    x: np.ndarray            # (N_pad, D) / (N_pad, M, D) features, or (0,)
     edge_index: np.ndarray   # (2, E_pad) int32, relation-sorted
     edge_type: np.ndarray    # (E_pad,) int32
     node_mask: np.ndarray    # (N_pad,) bool — real nodes
     edge_mask: np.ndarray    # (E_pad,) bool — real edges
     block_rel: np.ndarray    # (E_pad // block_size,) int32
     num_seed: np.ndarray     # () int32 — seed nodes occupy rows [0, num_seed)
+    node_ids: np.ndarray     # (N_pad,) int32 global node ids (pad slots: 0)
 
     @property
     def num_nodes(self) -> int:
-        return self.x.shape[0]
+        return self.node_mask.shape[0]
 
     @property
     def num_edges(self) -> int:
@@ -44,7 +51,7 @@ class GraphBatch(NamedTuple):
 
 
 def pad_graph_batch(
-    x: np.ndarray,
+    x: Optional[np.ndarray],
     edge_index: np.ndarray,
     edge_type: np.ndarray,
     num_relations: int,
@@ -53,6 +60,8 @@ def pad_graph_batch(
     block_size: int = 256,
     num_seed: Optional[int] = None,
     rng: Optional[np.random.Generator] = None,
+    node_ids: Optional[np.ndarray] = None,
+    num_nodes_hint: Optional[int] = None,
 ) -> GraphBatch:
     """Pack a variable-size subgraph into a fixed envelope.
 
@@ -62,7 +71,7 @@ def pad_graph_batch(
     drop is logged by the calling loader.
     """
     assert edge_budget % block_size == 0, "edge budget must align to blocks"
-    num_nodes = x.shape[0]
+    num_nodes = x.shape[0] if x is not None else num_nodes_hint
     if num_nodes > node_budget - 1:
         raise ValueError(
             f"subgraph has {num_nodes} nodes > budget {node_budget} - 1 dummy"
@@ -134,11 +143,17 @@ def pad_graph_batch(
         ] = r
 
     # Node padding: zero feature rows; last row is the dummy sink.
-    feat_shape = (node_budget,) + x.shape[1:]
-    xp = np.zeros(feat_shape, dtype=np.float32)
-    xp[:num_nodes] = x
+    if x is not None:
+        feat_shape = (node_budget,) + x.shape[1:]
+        xp = np.zeros(feat_shape, dtype=np.float32)
+        xp[:num_nodes] = x
+    else:
+        xp = np.zeros(0, dtype=np.float32)  # device-resident-table mode
     nmask = np.zeros(node_budget, dtype=bool)
     nmask[:num_nodes] = True
+    ids = np.zeros(node_budget, dtype=np.int32)
+    ids[:num_nodes] = (np.asarray(node_ids, np.int32) if node_ids is not None
+                       else np.arange(num_nodes, dtype=np.int32))
 
     return GraphBatch(
         x=xp,
@@ -148,4 +163,5 @@ def pad_graph_batch(
         edge_mask=emask,
         block_rel=block_rel,
         num_seed=np.int32(num_seed if num_seed is not None else num_nodes),
+        node_ids=ids,
     )

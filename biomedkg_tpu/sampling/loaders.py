@@ -55,7 +55,8 @@ class FullGraphLoader:
                 x, g.edge_index, g.edge_type, num_relations=g.num_relations,
                 node_budget=_round_up(g.num_nodes + 1, 128),
                 edge_budget=edge_budget, block_size=self.block_size,
-                num_seed=g.num_nodes)
+                num_seed=g.num_nodes,
+                node_ids=np.arange(g.num_nodes, dtype=np.int32))
         return self._batch
 
     def __iter__(self):

@@ -110,8 +110,10 @@ class NeighborBatchLoader:
     def __init__(self, graph: CSRGraph, batch_size: int, fanouts: List[int],
                  shuffle: bool = False, block_size: int = 256, seed: int = 0,
                  node_budget: int | None = None,
-                 edge_budget: int | None = None):
+                 edge_budget: int | None = None,
+                 with_features: bool = True):
         self.graph = graph
+        self.with_features = with_features
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.block_size = block_size
@@ -151,13 +153,17 @@ class NeighborBatchLoader:
             keep_mask = (ei[0] < keep_n) & (ei[1] < keep_n)
             ei, et = ei[:, keep_mask], et[keep_mask]
             nodes = nodes[:keep_n]
-        x = self.graph.x[nodes] if self.graph.x is not None else \
-            np.zeros((len(nodes), 1), np.float32)
+        if self.with_features:
+            x = self.graph.x[nodes] if self.graph.x is not None else \
+                np.zeros((len(nodes), 1), np.float32)
+        else:
+            x = None
         before = et.shape[0]
         batch = pad_graph_batch(
             x, ei, et, num_relations=self.graph.num_relations,
             node_budget=self.node_budget, edge_budget=self.edge_budget,
-            block_size=self.block_size, num_seed=len(seeds), rng=self.rng)
+            block_size=self.block_size, num_seed=len(seeds), rng=self.rng,
+            node_ids=nodes, num_nodes_hint=len(nodes))
         self.dropped_edges += before - int(batch.edge_mask.sum())
         return batch
 

@@ -50,8 +50,12 @@ class SaintRandomWalkSampler:
     def __init__(self, graph: CSRGraph, batch_size: int, walk_length: int,
                  num_steps: int, block_size: int = 256,
                  seed: int = 0, edge_budget: int | None = None,
-                 node_budget: int | None = None):
+                 node_budget: int | None = None,
+                 with_features: bool = True):
         self.graph = graph
+        # False → batches carry global node_ids only; features gathered from
+        # a device-resident table (sampling/batch.py GraphBatch docstring)
+        self.with_features = with_features
         self.batch_size = batch_size
         self.walk_length = walk_length
         self.num_steps = num_steps
@@ -86,13 +90,17 @@ class SaintRandomWalkSampler:
     def sample(self) -> tuple[GraphBatch, np.ndarray]:
         """One SAINT batch; returns (padded batch, global node ids)."""
         nodes, ei, et = self._sample_raw(self.rng)
-        x = self.graph.x[nodes] if self.graph.x is not None else \
-            np.zeros((len(nodes), 1), np.float32)
+        if self.with_features:
+            x = self.graph.x[nodes] if self.graph.x is not None else \
+                np.zeros((len(nodes), 1), np.float32)
+        else:
+            x = None
         before = et.shape[0]
         batch = pad_graph_batch(
             x, ei, et, num_relations=self.graph.num_relations,
             node_budget=self.node_budget, edge_budget=self.edge_budget,
-            block_size=self.block_size, num_seed=len(nodes), rng=self.rng)
+            block_size=self.block_size, num_seed=len(nodes), rng=self.rng,
+            node_ids=nodes, num_nodes_hint=len(nodes))
         self.dropped_edges += before - int(batch.edge_mask.sum())
         return batch, nodes
 

@@ -146,7 +146,8 @@ class BaseGCL(JittedStepsMixin):
 
     def _forward_loss(self, params, batch, rng, training: bool):
         r_fuse, r_model = jax.random.split(rng)
-        x = self.fusion_fn(params, batch.x, rng=r_fuse, training=training)
+        x = self.fusion_fn(params, self._batch_features(batch),
+                           rng=r_fuse, training=training)
         loss = self.calculate_loss(params, x, batch, r_model, training)
         return loss, {"loss": loss}
 
@@ -159,7 +160,7 @@ class BaseGCL(JittedStepsMixin):
         through the clean encoder — used for embedding export."""
         @jax.jit
         def fwd(p, b):
-            x = self.fusion_fn(p, b.x, training=False)
+            x = self.fusion_fn(p, self._batch_features(b), training=False)
             return self.encoder.apply(p["model"]["encoder"], x,
                                       b.edge_index, b.edge_mask,
                                       training=False)

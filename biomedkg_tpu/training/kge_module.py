@@ -152,7 +152,8 @@ class KGEModule(JittedStepsMixin):
 
     def _forward_loss(self, params, batch, rng, training: bool):
         r_fuse, r_enc, r_neg, r_perm = jax.random.split(rng, 4)
-        x = self.fusion_fn(params, batch.x, rng=r_fuse, training=training)
+        x = self.fusion_fn(params, self._batch_features(batch),
+                           rng=r_fuse, training=training)
         etype, block_rel = self._effective_types(batch)
 
         enc_params = params["model"]["encoder"]
@@ -247,7 +248,7 @@ class KGEModule(JittedStepsMixin):
         kge_module.py:104-107) for embedding export."""
         @jax.jit
         def fwd(p, b):
-            x = self.fusion_fn(p, b.x, training=False)
+            x = self.fusion_fn(p, self._batch_features(b), training=False)
             etype, block_rel = self._effective_types(b)
             return self.model.encode(p["model"], x, b.edge_index, etype,
                                      b.edge_mask, block_rel, training=False)

@@ -29,9 +29,26 @@ class TrainState(NamedTuple):
 class JittedStepsMixin:
     tx: Any
     _jit_cache: Dict[str, Any]
+    feature_table: Any = None
 
     def _forward_loss(self, params, batch, rng, training):
         raise NotImplementedError
+
+    def set_feature_table(self, x) -> None:
+        """Keep the full node-feature table resident in device HBM; batches
+        then carry node ids only and features are gathered on device
+        (pairs with the data modules' ``device_features = True``)."""
+        self.feature_table = jax.device_put(jnp.asarray(x))
+        self._jit_cache.clear()  # steps close over the table
+
+    def _batch_features(self, batch):
+        if batch.x.size == 0:  # static shape → python-level branch
+            assert self.feature_table is not None, \
+                "batch has no features; call set_feature_table first"
+            from ..ops.segment import take_rows
+
+            return take_rows(self.feature_table, batch.node_ids)
+        return batch.x
 
     def init_state(self, rng) -> TrainState:
         params = self.init(rng)

@@ -24,6 +24,12 @@ def main(cfg):
     model.neg_ratio = _parse_neg_ratio(cfg.neg_ratio)
     model.edge_mapping = data_module.edge_map_index
 
+    # device-resident feature table: batches carry node ids only
+    if data_module.graph.x is not None:
+        data_module.device_features = True
+        model.set_feature_table(data_module.graph.x)
+
+
     print("=" * 20)
     print(f"Neg Ratio: {model.neg_ratio}")
     print("=" * 20)

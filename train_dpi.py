@@ -42,6 +42,12 @@ def main(cfg):
 
     model.edge_mapping = data_module.edge_map_index
 
+    # device-resident feature table: batches carry node ids only
+    if data_module.graph.x is not None:
+        data_module.device_features = True
+        model.set_feature_table(data_module.graph.x)
+
+
     exp_name = (f"{cfg.model.encoder_name}_{cfg.model.decoder_name}"
                 f"_{cfg.data.node_init_method}")
     if cfg.data.node_init_method == "gcl":

@@ -39,6 +39,12 @@ def main(cfg):
 
     model = create_gcl_model(cfg=cfg.model)
 
+    # device-resident feature table: batches carry node ids only
+    if data_module.graph.x is not None:
+        data_module.device_features = True
+        model.set_feature_table(data_module.graph.x)
+
+
     os.makedirs(ckpt_dir, exist_ok=True)
     os.makedirs(log_dir, exist_ok=True)
 
