@@ -109,6 +109,9 @@ class RGCN:
 
     def apply(self, params, x, edge_index, edge_type, edge_mask, block_rel,
               *, rng: Optional[jax.Array] = None, training: bool = False):
+        edge_index = edge_index.astype(jnp.int32)
+        edge_type = edge_type.astype(jnp.int32)
+        block_rel = block_rel.astype(jnp.int32)
         layers = params["layers"]
         conv = jax.checkpoint(self._conv) if self.remat else self._conv
         for i, lp in enumerate(layers[:-1]):
@@ -176,6 +179,9 @@ class RGAT:
 
     def apply(self, params, x, edge_index, edge_type, edge_mask, block_rel,
               *, rng: Optional[jax.Array] = None, training: bool = False):
+        edge_index = edge_index.astype(jnp.int32)
+        edge_type = edge_type.astype(jnp.int32)
+        block_rel = block_rel.astype(jnp.int32)
         layers = params["layers"]
         for i, lp in enumerate(layers[:-1]):
             dout = self.dims[i][1]
@@ -227,6 +233,7 @@ class GCNEncoder:
 
     def apply(self, params, x, edge_index, edge_mask,
               *, rng: Optional[jax.Array] = None, training: bool = False):
+        edge_index = edge_index.astype(jnp.int32)
         layers = params["layers"]
         for lp in layers[:-1]:
             x = jax.nn.relu(self._conv(lp, x, edge_index, edge_mask))

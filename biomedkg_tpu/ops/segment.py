@@ -92,7 +92,8 @@ def per_dst_relation_counts(
     relation r into node i are divided by |N_r(i)|. The padded-batch analog
     masks padding edges out of the counts.
     """
-    flat = dst * num_relations + edge_type
+    flat = dst.astype(jnp.int32) * num_relations \
+        + edge_type.astype(jnp.int32)
     counts = jax.ops.segment_sum(edge_mask.astype(jnp.float32), flat,
                                  num_segments=num_nodes * num_relations)
     return counts.reshape(num_nodes, num_relations)

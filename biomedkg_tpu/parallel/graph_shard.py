@@ -101,8 +101,9 @@ def sharded_rgcn_encode(encoder, params, sharded: ShardedGraph,
     shard_n = sharded.x.shape[1]
 
     def per_shard(layer_params, x_shard, ei, et, em, brel, nmask):
-        x_shard, ei, et = x_shard[0], ei[0], et[0]
-        em, brel, nmask = em[0], brel[0], nmask[0]
+        x_shard, ei, et = x_shard[0], ei[0].astype(jnp.int32), \
+            et[0].astype(jnp.int32)
+        em, brel, nmask = em[0], brel[0].astype(jnp.int32), nmask[0]
         my = jax.lax.axis_index(axis)
         x = x_shard
         for i, lp in enumerate(layer_params):

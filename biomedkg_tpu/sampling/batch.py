@@ -111,11 +111,15 @@ def pad_graph_batch(
     seg_padded = ((seg_sizes + block_size - 1) // block_size) * block_size
     seg_offsets = np.concatenate([[0], np.cumsum(seg_padded)[:-1]])
 
+    # Compact wire dtypes: device transfer is the wall-clock bottleneck on
+    # tunneled hosts; the step widens to int32 on device (stepping._widen).
+    idx_dtype = np.int16 if node_budget < 2**15 else np.int32
+    rel_dtype = np.int8 if num_relations < 2**7 else np.int32
     dummy = node_budget - 1
-    ei = np.full((2, edge_budget), dummy, dtype=np.int32)
-    et = np.zeros(edge_budget, dtype=np.int32)
+    ei = np.full((2, edge_budget), dummy, dtype=idx_dtype)
+    et = np.zeros(edge_budget, dtype=rel_dtype)
     emask = np.zeros(edge_budget, dtype=bool)
-    block_rel = np.zeros(edge_budget // block_size, dtype=np.int32)
+    block_rel = np.zeros(edge_budget // block_size, dtype=rel_dtype)
 
     sorted_src = edge_index[0, order]
     sorted_dst = edge_index[1, order]

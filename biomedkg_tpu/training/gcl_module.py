@@ -145,6 +145,7 @@ class BaseGCL(JittedStepsMixin):
         raise NotImplementedError
 
     def _forward_loss(self, params, batch, rng, training: bool):
+        batch = self._widen(batch)
         r_fuse, r_model = jax.random.split(rng)
         x = self.fusion_fn(params, self._batch_features(batch),
                            rng=r_fuse, training=training)
@@ -160,6 +161,7 @@ class BaseGCL(JittedStepsMixin):
         through the clean encoder — used for embedding export."""
         @jax.jit
         def fwd(p, b):
+            b = self._widen(b)
             x = self.fusion_fn(p, self._batch_features(b), training=False)
             return self.encoder.apply(p["model"]["encoder"], x,
                                       b.edge_index, b.edge_mask,

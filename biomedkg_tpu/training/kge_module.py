@@ -151,6 +151,7 @@ class KGEModule(JittedStepsMixin):
         return etype, block_rel
 
     def _forward_loss(self, params, batch, rng, training: bool):
+        batch = self._widen(batch)
         r_fuse, r_enc, r_neg, r_perm = jax.random.split(rng, 4)
         x = self.fusion_fn(params, self._batch_features(batch),
                            rng=r_fuse, training=training)
@@ -248,6 +249,7 @@ class KGEModule(JittedStepsMixin):
         kge_module.py:104-107) for embedding export."""
         @jax.jit
         def fwd(p, b):
+            b = self._widen(b)
             x = self.fusion_fn(p, self._batch_features(b), training=False)
             etype, block_rel = self._effective_types(b)
             return self.model.encode(p["model"], x, b.edge_index, etype,

@@ -41,6 +41,17 @@ class JittedStepsMixin:
         self.feature_table = jax.device_put(jnp.asarray(x))
         self._jit_cache.clear()  # steps close over the table
 
+    @staticmethod
+    def _widen(batch):
+        """Widen compact wire dtypes (int16 indices / int8 relations) to the
+        int32 the kernels index with — a free on-device cast that lets the
+        host ship ~2.5× fewer bytes per batch (sampling/batch.py)."""
+        return batch._replace(
+            edge_index=batch.edge_index.astype(jnp.int32),
+            edge_type=batch.edge_type.astype(jnp.int32),
+            block_rel=batch.block_rel.astype(jnp.int32),
+            node_ids=batch.node_ids.astype(jnp.int32))
+
     def _batch_features(self, batch):
         if batch.x.size == 0:  # static shape → python-level branch
             assert self.feature_table is not None, \
