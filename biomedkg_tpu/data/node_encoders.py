@@ -20,6 +20,7 @@ reference's TripletBase, _base.py:57).
 from __future__ import annotations
 
 import glob
+import hashlib
 import os
 import pickle
 from pathlib import Path
@@ -63,7 +64,11 @@ class _PickleCacheEncode:
         raise NotImplementedError
 
     def __call__(self, lst_node: List[str]) -> np.ndarray:
-        rng = np.random.default_rng(abs(hash(tuple(lst_node[:3]))) % (2**31))
+        # stable digest (not Python's per-process salted hash) so cache-miss
+        # fallback rows are identical across runs/processes
+        digest = hashlib.sha256(
+            "|".join(str(n) for n in lst_node[:3]).encode()).digest()
+        rng = np.random.default_rng(int.from_bytes(digest[:4], "little"))
         rows, misses = [], 0
         for name in lst_node:
             emb = self.node_mapping.get(name)

@@ -11,6 +11,7 @@ synthetic PrimeKG-schema graph is generated and a warning printed.
 from __future__ import annotations
 
 import os
+import urllib.request
 from typing import Callable, List, Optional
 
 import pandas as pd
@@ -19,6 +20,26 @@ from .synthetic import synthetic_triplets
 from .triplet import TripletGraph
 
 PRIMEKG_URL = "https://dataverse.harvard.edu/api/access/datafile/6180620"
+# columns TripletBase consumes (_base.py:23-87); a download that parses but
+# lacks these is corrupt/truncated and is discarded rather than cached
+_REQUIRED_COLUMNS = {"x_type", "x_name", "y_type", "y_name",
+                     "relation", "display_relation"}
+
+
+def _download_csv(csv_path: str) -> bool:
+    """Fetch kg.csv without a shell (no injection surface) and validate
+    the schema before accepting it into the cache."""
+    try:
+        urllib.request.urlretrieve(PRIMEKG_URL, csv_path)  # nosec B310
+    except Exception:
+        return False
+    try:
+        if os.path.getsize(csv_path) == 0:
+            return False
+        header = set(pd.read_csv(csv_path, nrows=0).columns)
+        return _REQUIRED_COLUMNS <= header
+    except Exception:
+        return False
 
 
 def _load_dataframe(data_dir: str) -> pd.DataFrame:
@@ -32,9 +53,7 @@ def _load_dataframe(data_dir: str) -> pd.DataFrame:
     csv_path = os.path.join(data_dir, "kg.csv")
     if not os.path.exists(csv_path):
         os.makedirs(data_dir, exist_ok=True)
-        code = os.system(f"wget -q -O {csv_path} {PRIMEKG_URL}")
-        if code != 0 or not os.path.exists(csv_path) \
-                or os.path.getsize(csv_path) == 0:
+        if not _download_csv(csv_path):
             if os.path.exists(csv_path):
                 os.remove(csv_path)
             print("[biomedkg_tpu] PrimeKG csv unavailable (no egress); "

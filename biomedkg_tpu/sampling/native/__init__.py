@@ -8,6 +8,7 @@ degrades gracefully (set BIOMEDKG_NO_NATIVE=1 to force the fallback).
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
 import sys
@@ -17,8 +18,25 @@ import numpy as np
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_DIR, "sampler.cpp")
 _SO = os.path.join(_DIR, f"libsampler-{sys.platform}.so")
+_HASH = _SO + ".srchash"
 
 _lib = None
+
+
+def _src_hash() -> str:
+    with open(_SRC, "rb") as f:
+        return hashlib.sha256(f.read()).hexdigest()
+
+
+def _cached_binary_valid() -> bool:
+    """A cached .so is only trusted when its recorded source hash matches
+    the current sampler.cpp — the binary is never version-controlled
+    (gitignored), so everything that loads was compiled here from the
+    audited source, and stale binaries can't shadow source edits."""
+    if not (os.path.exists(_SO) and os.path.exists(_HASH)):
+        return False
+    with open(_HASH) as f:
+        return f.read().strip() == _src_hash()
 
 
 def _build() -> bool:
@@ -26,8 +44,10 @@ def _build() -> bool:
            "-pthread", _SRC, "-o", _SO]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        with open(_HASH, "w") as f:
+            f.write(_src_hash())
         return True
-    except (subprocess.SubprocessError, FileNotFoundError):
+    except (subprocess.SubprocessError, FileNotFoundError, OSError):
         return False
 
 
@@ -38,8 +58,7 @@ def get_lib():
         return _lib
     if os.environ.get("BIOMEDKG_NO_NATIVE"):
         return None
-    if not os.path.exists(_SO) or (
-            os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
+    if not _cached_binary_valid():
         if not _build():
             return None
     try:

@@ -117,6 +117,7 @@ class NeighborBatchLoader:
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.block_size = block_size
+        self.seed = seed
         self.rng = np.random.default_rng(seed)
         self.sampler = NeighborSampler(graph, fanouts, self.rng)
         self.dropped_edges = 0
@@ -144,6 +145,12 @@ class NeighborBatchLoader:
         if self.edge_budget is None:
             self.edge_budget = _round_up(int(worst_edges * 1.5),
                                          self.block_size)
+
+    def set_epoch(self, epoch: int):
+        """Re-key the stream per epoch for exact resume replay (the shared
+        sampler rng is swapped too — it aliases ``self.rng``)."""
+        self.rng = np.random.default_rng((self.seed, epoch))
+        self.sampler.rng = self.rng
 
     def _make_batch(self, seeds: np.ndarray) -> GraphBatch:
         nodes, ei, et = self.sampler.sample_raw(seeds)

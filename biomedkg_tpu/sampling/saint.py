@@ -60,6 +60,7 @@ class SaintRandomWalkSampler:
         self.walk_length = walk_length
         self.num_steps = num_steps
         self.block_size = block_size
+        self.seed = seed
         self.rng = np.random.default_rng(seed)
         self.dropped_edges = 0
 
@@ -103,6 +104,12 @@ class SaintRandomWalkSampler:
             node_ids=nodes, num_nodes_hint=len(nodes))
         self.dropped_edges += before - int(batch.edge_mask.sum())
         return batch, nodes
+
+    def set_epoch(self, epoch: int):
+        """Re-key the batch stream for an epoch so any resume point replays
+        the identical batches an uninterrupted run would have seen (the
+        Trainer calls this; same contract as torch's DistributedSampler)."""
+        self.rng = np.random.default_rng((self.seed, epoch))
 
     def __iter__(self):
         for _ in range(self.num_steps):

@@ -155,5 +155,6 @@ class EarlyStopping:
             self.bad_epochs = 0
         else:
             self.bad_epochs += 1
-            if self.bad_epochs > self.patience:
+            # Lightning semantics: stop when wait_count >= patience
+            if self.bad_epochs >= self.patience:
                 self.should_stop = True

@@ -140,9 +140,15 @@ class BootstrappedBinaryMetrics:
         rng = np.random.default_rng(self.seed)
 
         point = self._weighted_metrics(preds, target, [None])
+        # Bootstrapping a size-n subsample measures the variability of an
+        # n-sample metric, which is ~sqrt(N/n) larger than the full-set
+        # metric's; rescale the std so reported CI widths stay calibrated
+        # to the full prediction set (torchmetrics BootStrapper parity).
+        std_scale = 1.0
         if len(preds) > self.MAX_BOOTSTRAP_N:
             sub = rng.integers(0, len(preds), self.MAX_BOOTSTRAP_N)
             b_preds, b_target = preds[sub], target[sub]
+            std_scale = np.sqrt(self.MAX_BOOTSTRAP_N / len(preds))
         else:
             b_preds, b_target = preds, target
         rows = [self._fast_poisson1(rng, len(b_preds))
@@ -154,7 +160,7 @@ class BootstrappedBinaryMetrics:
             out[f"{self.prefix}{name}"] = point[name][0]
             out[f"{self.prefix}{name}_mean"] = float(np.mean(boots[name]))
             out[f"{self.prefix}{name}_std"] = float(
-                np.std(boots[name], ddof=1))
+                np.std(boots[name], ddof=1) * std_scale)
         return out
 
     @staticmethod

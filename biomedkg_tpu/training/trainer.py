@@ -88,8 +88,14 @@ class Trainer:
                            else len(train_dataloaders))
         model.configure_optimizers(steps_per_epoch * epochs,
                                    grad_clip=self.gradient_clip_val)
-        rng = jax.random.PRNGKey(getattr(model, "seed", 42))
-        rng, init_rng = jax.random.split(rng)
+        # All training randomness derives from fold_in(root, counter):
+        # train-step rng is keyed by global_step and val rng by epoch, so
+        # resuming at any checkpoint reproduces the uninterrupted run's
+        # exact rng stream (no replay needed).
+        root = jax.random.PRNGKey(getattr(model, "seed", 42))
+        init_rng = jax.random.fold_in(root, 0)
+        train_root = jax.random.fold_in(root, 1)
+        val_root = jax.random.fold_in(root, 2)
         self.state = model.init_state(init_rng)
         start_epoch = 0
         if resume_from is not None:
@@ -109,9 +115,6 @@ class Trainer:
                 jax.numpy.asarray(step, jax.numpy.int32))
             start_epoch = step // max(steps_per_epoch, 1)
             self.global_step = int(step)
-            # replay the rng stream to the resume point
-            for _ in range(start_epoch):
-                rng, _ = jax.random.split(rng)
         elif init_params is not None:
             # warm start (load_from_checkpoint → fit, train_dpi.py:32)
             from .kge_module import TrainState
@@ -122,6 +125,10 @@ class Trainer:
 
         for epoch in range(start_epoch, epochs):
             self.current_epoch = epoch
+            # epoch-keyed host sampler stream: resume replays the exact
+            # batches the uninterrupted run would have sampled
+            if hasattr(train_dataloaders, "set_epoch"):
+                train_dataloaders.set_epoch(epoch)
             t0 = time.time()
             n_batches = 0
             n_edges = 0
@@ -129,7 +136,7 @@ class Trainer:
             k = 1 if self.fast_dev_run else self.steps_per_execution
             for kind, batch, steps, edges in prefetch(
                     self._train_stream(train_dataloaders, k)):
-                rng, step_rng = jax.random.split(rng)
+                step_rng = jax.random.fold_in(train_root, self.global_step)
                 if kind == "group":
                     self.state, logs = model.train_steps(self.state, batch,
                                                          step_rng)
@@ -164,7 +171,9 @@ class Trainer:
                 self.fast_dev_run
                 or (epoch + 1) % self.check_val_every_n_epoch == 0)
             if run_val:
-                rng, val_rng = jax.random.split(rng)
+                val_rng = jax.random.fold_in(val_root, epoch)
+                if hasattr(val_dataloaders, "set_epoch"):
+                    val_dataloaders.set_epoch(epoch)
                 val_metrics = self._eval_loop(model, self.state.params,
                                               val_dataloaders, "val",
                                               val_rng)
