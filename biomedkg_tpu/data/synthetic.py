@@ -74,3 +74,46 @@ def synthetic_dpi(num_drug: int = 300, num_gene: int = 500,
     return synthetic_triplets(
         num_gene=num_gene, num_drug=num_drug, num_disease=1,
         num_edges=num_edges, relations=DPI_RELATION, seed=seed)
+
+
+def planted_triplets(num_nodes: int = 400, num_relations: int = 4,
+                     latent_dim: int = 8, edges_per_head: int = 4,
+                     seed: int = 0):
+    """Latent-factor graph with a KNOWN-GOOD filtered-ranking ceiling
+    (VERDICT round-1 item #4 — the power-law synthetic cannot distinguish
+    a learned decoder from a broken one; filtered MRR on it is ~0.06
+    regardless).
+
+    Generative model == the DistMult model class: node factors
+    u_i ~ N(0, I_k)/sqrt(k), relation factors d_r ~ N(0, I_k); the edges of
+    relation r are each head's top-``edges_per_head`` tails by the bilinear
+    score (u_i * d_r)·u_j.  A model that recovers (u, d) ranks every true
+    tail above only *other true tails* (the filtered protocol removes
+    those), so exact recovery ⇒ tail-side MRR = 1.0, and a broken
+    encoder/decoder provably cannot reach it by chance (~1/N).
+
+    Returns ``(df, features)``: a reference-schema triplet dataframe over a
+    single node type and an (N, latent_dim) float32 array aligned with the
+    sorted node-name order TripletGraph uses (node ``ent_%06d`` sorts to
+    index order).
+    """
+    rng = np.random.default_rng(seed)
+    u = rng.standard_normal((num_nodes, latent_dim)).astype(np.float32)
+    u /= np.sqrt(latent_dim)
+    d = rng.standard_normal((num_relations, latent_dim)).astype(np.float32)
+
+    names = np.array([f"ent_{i:06d}" for i in range(num_nodes)])
+    rows = []
+    for r in range(num_relations):
+        scores = (u * d[r]) @ u.T                        # (N, N)
+        np.fill_diagonal(scores, -np.inf)                # no self-loops
+        tails = np.argpartition(-scores, edges_per_head,
+                                axis=1)[:, :edges_per_head]
+        heads = np.repeat(np.arange(num_nodes), edges_per_head)
+        rows.append(pd.DataFrame({
+            "x_type": "entity", "x_name": names[heads],
+            "relation": f"rel_{r}",
+            "y_type": "entity", "y_name": names[tails.reshape(-1)],
+        }))
+    df = pd.concat(rows, ignore_index=True)
+    return df, u

@@ -105,6 +105,32 @@ class JittedStepsMixin:
             self._jit_cache["train_scan"] = train_steps
         return self._jit_cache["train_scan"]
 
+    def _get_fullbatch_scan(self):
+        """K grad updates over ONE device-resident batch in a single
+        dispatch (full-batch training mode, loader_type='full'): the whole
+        multi-epoch loop is one XLA program, so per-step dispatch latency
+        — the dominant cost for small graphs, and ~35ms over a tunneled
+        TPU — is paid once."""
+        if "fullbatch_scan" not in self._jit_cache:
+            @functools.partial(jax.jit, donate_argnums=(0,),
+                               static_argnums=(3,))
+            def train_many(state, batch, rng, num_steps):
+                def body(carry, i):
+                    new_state, loss = self._grad_update(
+                        carry, batch, jax.random.fold_in(rng, i))
+                    return new_state, loss
+
+                state, losses = jax.lax.scan(
+                    body, state, jnp.arange(num_steps))
+                return state, losses[-1]
+
+            self._jit_cache["fullbatch_scan"] = train_many
+        return self._jit_cache["fullbatch_scan"]
+
+    def train_fullbatch(self, state, batch, rng, num_steps: int):
+        """num_steps fused full-batch updates; returns (state, last_loss)."""
+        return self._get_fullbatch_scan()(state, batch, rng, num_steps)
+
     def _get_eval_step(self):
         if "eval" not in self._jit_cache:
             @jax.jit

@@ -2,6 +2,13 @@
 
 Multi-chip hardware is unavailable in CI; sharding/pjit paths are validated
 on a virtual 8-device CPU mesh (SURVEY §4 test-strategy note).
+
+Note: the environment's sitecustomize registers the axon TPU plugin and
+forces ``jax_platforms="axon,cpu"`` at interpreter start — env vars alone
+cannot select CPU (JAX_PLATFORMS=cpu is overridden, and the default
+backend silently stays the tunneled TPU). ``jax.config.update`` after
+import is the only switch that genuinely lands on CPU; the assert guards
+against tests quietly running on (and timing against) the remote chip.
 """
 
 import os
@@ -14,9 +21,8 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 import jax  # noqa: E402
 
-# The environment pre-seeds jax_platforms with the axon TPU plugin; override
-# after import (env vars alone are ignored) so tests run on the CPU mesh.
 jax.config.update("jax_platforms", "cpu")
+assert jax.default_backend() == "cpu"
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
