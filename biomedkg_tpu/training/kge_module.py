@@ -34,7 +34,8 @@ import optax
 from .. import nn
 from ..models.factory import FusionFactory, KGEModelFactory
 from .checkpoint import load_checkpoint
-from .metrics import BootstrappedBinaryMetrics, EdgeWisePrecision
+from .metrics import (BootstrappedBinaryMetrics, EdgeWisePrecision,
+                      HistogramBinaryMetrics)
 from .optim import make_optimizer
 from .stepping import JittedStepsMixin, TrainState  # noqa: F401 (re-export)
 
@@ -96,6 +97,20 @@ class KGEModule(JittedStepsMixin):
         self.test_metrics = BootstrappedBinaryMetrics(prefix="test_")
         self.tx: Optional[optax.GradientTransformation] = None
         self._jit_cache: Dict[str, Any] = {}
+        # "histogram": eval batches reduce ON DEVICE to psum-able histogram
+        # + count states (multi-host-safe, ~1000× less D2H); "exact": host
+        # concatenation + subsampled bootstrap (torchmetrics-exact values).
+        self._eval_impl = "histogram"
+
+    @property
+    def eval_impl(self) -> str:
+        return self._eval_impl
+
+    @eval_impl.setter
+    def eval_impl(self, value: str):
+        assert value in ("histogram", "exact"), value
+        self._eval_impl = value
+        self._jit_cache.clear()  # eval step closes over the reduction
 
     # -- reference property surface -----------------------------------------
 
@@ -220,7 +235,66 @@ class KGEModule(JittedStepsMixin):
 
     # -- eval epoch aggregation --------------------------------------------------
 
+    def _reduce_eval_aux(self, aux):
+        """Device-side metric-state reduction (VERDICT round-1 item #6):
+        one (2, B) score histogram + exact (tp, fp, fn) counts + the
+        per-relation EdgeWisePrecision count pair. Every array sums across
+        batches AND hosts (psum) exactly like torchmetrics'
+        ``dist_reduce_fx="sum"`` (reference utils/metrics.py:12-18)."""
+        nbins = HistogramBinaryMetrics.NUM_BINS
+        pred, gt, w = aux["pred"], aux["gt"], aux["weights"]
+        t = gt > 0.5
+        probs = jax.nn.sigmoid(pred)
+        bins = jnp.minimum((probs * nbins).astype(jnp.int32), nbins - 1)
+        hist = jnp.stack([
+            jnp.zeros(nbins, jnp.float32).at[bins].add(
+                jnp.where(t, w, 0.0)),
+            jnp.zeros(nbins, jnp.float32).at[bins].add(
+                jnp.where(t, 0.0, w)),
+        ])
+        pred_pos = pred > 0.0  # sigmoid(x) > 0.5 ⇔ x > 0: exact threshold
+        f1_counts = jnp.stack([
+            jnp.sum(jnp.where(pred_pos & t, w, 0.0)),
+            jnp.sum(jnp.where(pred_pos & ~t, w, 0.0)),
+            jnp.sum(jnp.where(~pred_pos & t, w, 0.0)),
+        ])
+        num_rel = self.hparams["num_relation"]
+        em = aux["edge_mask"].astype(jnp.float32)
+        et = aux["edge_type"]
+        # raw-score 0.5 threshold: the reference quirk (utils/metrics.py:24)
+        above = em * (aux["pos_pred"] > 0.5)
+        edge_counts = jnp.zeros(num_rel, jnp.float32).at[et].add(em)
+        edge_above = jnp.zeros(num_rel, jnp.float32).at[et].add(above)
+        return {"hist": hist, "f1_counts": f1_counts,
+                "edge_counts": edge_counts, "edge_above": edge_above,
+                "loss": aux["loss"]}
+
+    def _eval_epoch_from_states(self, outputs, split: str):
+        hm = HistogramBinaryMetrics(prefix=f"{split}_")
+        hist = np.zeros((2, hm.NUM_BINS), np.float64)
+        f1c = np.zeros(3, np.float64)
+        num_rel = self.hparams["num_relation"]
+        cnt = np.zeros(num_rel, np.float64)
+        above = np.zeros(num_rel, np.float64)
+        losses = []
+        for o in outputs:
+            hist += np.asarray(o["hist"], np.float64)
+            f1c += np.asarray(o["f1_counts"], np.float64)
+            cnt += np.asarray(o["edge_counts"], np.float64)
+            above += np.asarray(o["edge_above"], np.float64)
+            losses.append(float(o["loss"]))
+        hm.merge_state(hist, f1c)
+        out = hm.compute()
+        for idx, name in self._edge_index_map.items():
+            key = str(name) + "_pre"
+            out[key] = float(above[idx] / cnt[idx]) if cnt[idx] > 0 else 0.0
+        out[f"{split}_loss"] = float(np.mean(losses)) if losses else 0.0
+        return out
+
     def eval_epoch(self, outputs, split: str) -> Dict[str, float]:
+        if outputs and isinstance(outputs[0], dict) \
+                and "hist" in outputs[0]:
+            return self._eval_epoch_from_states(outputs, split)
         metrics = self.valid_metrics if split == "val" else self.test_metrics
         metrics.reset()
         edgewise = getattr(self, f"edge_wise_pre_{'valid' if split == 'val' else 'test'}", None)

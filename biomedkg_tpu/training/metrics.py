@@ -213,6 +213,117 @@ class BootstrappedBinaryMetrics:
         return values
 
 
+class HistogramBinaryMetrics:
+    """AUROC/AP/F1 (+ poisson-bootstrap CIs) from fixed-bin score
+    histograms — the device-resident, psum-reducible eval state
+    (VERDICT round-1 item #6; SURVEY §5 metrics row).
+
+    State per split: ``hist`` (2, NUM_BINS) float32 — weighted counts of
+    positives/negatives per sigmoid-probability bin — and ``f1_counts``
+    (tp, fp, fn) computed EXACTLY on device with the logit>0 threshold
+    (sigmoid(x) > 0.5 ⇔ x > 0, no binning error). Both states sum across
+    batches/hosts like torchmetrics' ``dist_reduce_fx="sum"``
+    (reference utils/metrics.py:12-18), so multi-host eval ships ~256KB
+    instead of the full prediction set.
+
+    AUROC/AP treat each bin as a tie group — identical formulas to the
+    exact implementation above with bins instead of unique scores; with
+    32k bins the deviation is far below the bootstrap CI widths (gated
+    <1e-3 in tests/test_metrics_hist.py). Bootstrap resamples draw
+    Poisson(count) per bin, which equals per-sample Poisson(1) weights
+    aggregated into bins in distribution — and unlike the subsampled
+    exact path it bootstraps the FULL set, so no std rescaling is needed.
+    """
+
+    NUM_BINS = 32768
+
+    def __init__(self, prefix: str = "", num_bootstraps: int = 10,
+                 seed: int = 0):
+        self.prefix = prefix
+        self.num_bootstraps = num_bootstraps
+        self.seed = seed
+        self.reset()
+
+    def reset(self):
+        self.hist = np.zeros((2, self.NUM_BINS), dtype=np.float64)
+        self.f1_counts = np.zeros(3, dtype=np.float64)  # tp, fp, fn
+
+    # -- host update (numpy mirror of the device reduction) -----------------
+
+    def update(self, preds, target, weights=None):
+        preds = np.asarray(preds, dtype=np.float64).ravel()
+        target = np.asarray(target, dtype=np.float64).ravel() > 0.5
+        w = (np.ones_like(preds) if weights is None
+             else np.asarray(weights, np.float64).ravel())
+        probs = _sigmoid(preds)
+        bins = np.minimum((probs * self.NUM_BINS).astype(np.int64),
+                          self.NUM_BINS - 1)
+        self.hist[0] += np.bincount(bins, weights=np.where(target, w, 0.0),
+                                    minlength=self.NUM_BINS)
+        self.hist[1] += np.bincount(bins, weights=np.where(target, 0.0, w),
+                                    minlength=self.NUM_BINS)
+        pred_pos = preds > 0.0
+        self.f1_counts[0] += np.sum(np.where(pred_pos & target, w, 0.0))
+        self.f1_counts[1] += np.sum(np.where(pred_pos & ~target, w, 0.0))
+        self.f1_counts[2] += np.sum(np.where(~pred_pos & target, w, 0.0))
+
+    def merge_state(self, hist, f1_counts):
+        """Fold in a device-reduced state (summed across batches/hosts)."""
+        self.hist += np.asarray(hist, dtype=np.float64)
+        self.f1_counts += np.asarray(f1_counts, dtype=np.float64)
+
+    # -- metric math ----------------------------------------------------------
+
+    @staticmethod
+    def _auroc_ap_from_hist(hist) -> Dict[str, float]:
+        gp, gn = hist[0], hist[1]
+        denom = gp.sum() * gn.sum()
+        cum_neg = np.concatenate([[0.0], np.cumsum(gn)[:-1]])
+        auroc = (float(np.sum(gp * (cum_neg + 0.5 * gn)) / denom)
+                 if denom > 0 else 0.5)
+        tp = np.cumsum(gp[::-1])
+        fp = np.cumsum(gn[::-1])
+        total_pos = tp[-1] if len(tp) else 0.0
+        if total_pos == 0:
+            ap = 0.0
+        else:
+            recall = tp / total_pos
+            precision = tp / np.maximum(tp + fp, 1e-12)
+            prev = np.concatenate([[0.0], recall[:-1]])
+            ap = float(np.sum((recall - prev) * precision))
+        return {"AUROC": auroc, "AveragePrecision": ap}
+
+    @staticmethod
+    def _f1_from_counts(c) -> float:
+        tp, fp, fn = c
+        denom = 2 * tp + fp + fn
+        return float(2 * tp / denom) if denom > 0 else 0.0
+
+    def compute(self) -> Dict[str, float]:
+        if self.hist.sum() == 0:
+            return {}
+        point = self._auroc_ap_from_hist(self.hist)
+        point["F1"] = self._f1_from_counts(self.f1_counts)
+
+        rng = np.random.default_rng(self.seed)
+        boots = {name: [] for name in point}
+        for _ in range(self.num_bootstraps):
+            bh = rng.poisson(self.hist)
+            bc = rng.poisson(self.f1_counts)
+            b = self._auroc_ap_from_hist(bh)
+            b["F1"] = self._f1_from_counts(bc)
+            for name, v in b.items():
+                boots[name].append(v)
+
+        out = {}
+        for name, v in point.items():
+            out[f"{self.prefix}{name}"] = v
+            out[f"{self.prefix}{name}_mean"] = float(np.mean(boots[name]))
+            out[f"{self.prefix}{name}_std"] = float(
+                np.std(boots[name], ddof=1))
+        return out
+
+
 class EdgeWisePrecision:
     """Per-relation fraction of positive scores above a threshold.
 
