@@ -19,6 +19,7 @@ from __future__ import annotations
 import os
 import pickle
 import tempfile
+import threading
 from typing import Any, Dict, List, Optional
 
 import jax
@@ -57,13 +58,41 @@ def load_checkpoint(path: str) -> Dict:
         return pickle.load(f)
 
 
+class AsyncSaver:
+    """Single-worker background checkpoint writer (SURVEY §5 failure row:
+    async save off the step path). Submit a fully host-materialized write
+    closure; a new submit waits for the previous write first (latest-wins
+    ordering, one outstanding write). ``wait()`` flushes — call it before
+    reading a just-saved checkpoint or at the end of fit. A hard kill
+    (preemption) mid-write is safe because every writer here finishes with
+    an atomic rename."""
+
+    def __init__(self):
+        self._thread: Optional[threading.Thread] = None
+
+    def submit(self, fn):
+        self.wait()
+        self._thread = threading.Thread(target=fn, daemon=True)
+        self._thread.start()
+
+    def wait(self):
+        if self._thread is not None and self._thread.is_alive():
+            self._thread.join()
+        self._thread = None
+
+
 def save_orbax(dirpath: str, kind: str, hparams: Dict, params: Any,
-               step: int = 0, extras: Optional[Dict] = None) -> None:
+               opt_state: Any = None, step: int = 0,
+               extras: Optional[Dict] = None) -> None:
     """Orbax-backed directory checkpoint (sharded, multi-host-safe).
 
-    Parameters go through orbax's PyTree handler; metadata (kind, hparams,
-    step, extras) lands in ``meta.json`` next to it so restore can rebuild
-    the module before asking orbax for the matching pytree structure.
+    Parameters go through orbax's PyTree handler; optimizer state is
+    stored as FLATTENED leaves (orbax restores plain containers, not
+    optax's namedtuple classes — the loader rebuilds the real structure
+    from ``tx.init`` and ``tree_unflatten``, see Trainer.fit resume);
+    metadata (kind, hparams, step, extras) lands in ``meta.json`` so
+    restore can rebuild the module before asking orbax for the matching
+    pytree structure.
     """
     import json
 
@@ -73,9 +102,19 @@ def save_orbax(dirpath: str, kind: str, hparams: Dict, params: Any,
     ckptr = ocp.PyTreeCheckpointer()
     ckptr.save(os.path.join(dirpath, "params"), _to_numpy(params),
                force=True)
-    with open(os.path.join(dirpath, "meta.json"), "w") as f:
+    n_opt = 0
+    if opt_state is not None:
+        leaves = jax.tree_util.tree_leaves(_to_numpy(opt_state))
+        n_opt = len(leaves)
+        ckptr.save(os.path.join(dirpath, "opt_state"),
+                   {f"l{i:04d}": leaf for i, leaf in enumerate(leaves)},
+                   force=True)
+    tmp = os.path.join(dirpath, ".meta.json.tmp")
+    with open(tmp, "w") as f:
         json.dump({"kind": kind, "hparams": dict(hparams),
-                   "step": int(step), "extras": extras or {}}, f)
+                   "step": int(step), "extras": extras or {},
+                   "n_opt_leaves": n_opt}, f)
+    os.replace(tmp, os.path.join(dirpath, "meta.json"))
 
 
 def load_orbax(dirpath: str) -> Dict:
@@ -86,9 +125,21 @@ def load_orbax(dirpath: str) -> Dict:
     dirpath = os.path.abspath(dirpath)
     with open(os.path.join(dirpath, "meta.json")) as f:
         meta = json.load(f)
-    params = ocp.PyTreeCheckpointer().restore(
-        os.path.join(dirpath, "params"))
-    return {**meta, "params": params, "opt_state": None}
+    ckptr = ocp.PyTreeCheckpointer()
+    params = ckptr.restore(os.path.join(dirpath, "params"))
+    opt_leaves = None
+    if meta.get("n_opt_leaves"):
+        d = ckptr.restore(os.path.join(dirpath, "opt_state"))
+        opt_leaves = [d[k] for k in sorted(d)]
+    return {**meta, "params": params, "opt_state": None,
+            "opt_leaves": opt_leaves}
+
+
+def load_any(path: str) -> Dict:
+    """Dispatch: file → pickle checkpoint, directory → orbax checkpoint."""
+    if os.path.isdir(path):
+        return load_orbax(path)
+    return load_checkpoint(path)
 
 
 class ModelCheckpoint:

@@ -15,6 +15,7 @@ triplets/sec) is recorded — instrumentation the reference lacks
 
 from __future__ import annotations
 
+import os
 import time
 from typing import Dict, List, Optional
 
@@ -22,8 +23,8 @@ import jax
 import numpy as np
 
 from ..sampling.loaders import prefetch
-from .checkpoint import (ModelCheckpoint, load_checkpoint,
-                         save_checkpoint)
+from .checkpoint import (AsyncSaver, ModelCheckpoint, load_any,
+                         save_checkpoint, save_orbax)
 from .logger import MetricsLogger
 
 
@@ -41,7 +42,10 @@ class Trainer:
                  deterministic: bool = True,
                  default_root_dir: Optional[str] = None,
                  enable_progress_bar: bool = True,
-                 steps_per_execution: int = 1):
+                 steps_per_execution: int = 1,
+                 checkpoint_every_n_steps: Optional[int] = None,
+                 checkpoint_backend: str = "pickle",
+                 async_checkpointing: bool = True):
         self.max_epochs = max_epochs
         self.check_val_every_n_epoch = check_val_every_n_epoch
         self.gradient_clip_val = gradient_clip_val
@@ -54,6 +58,15 @@ class Trainer:
         # K train steps fused into one device dispatch (lax.scan) — hides
         # per-step dispatch latency; 1 = classic per-batch stepping.
         self.steps_per_execution = max(1, steps_per_execution)
+        # preemption safety (SURVEY §5 failure row): periodic mid-epoch
+        # checkpoints written asynchronously off the step path
+        self.checkpoint_every_n_steps = checkpoint_every_n_steps
+        assert checkpoint_backend in ("pickle", "orbax")
+        self.checkpoint_backend = checkpoint_backend
+        self.async_checkpointing = async_checkpointing
+        self.default_root_dir = default_root_dir
+        self._saver = AsyncSaver()
+        self._in_fit = False
         self.current_epoch = 0
         self.global_step = 0
         self.module = None
@@ -63,10 +76,36 @@ class Trainer:
     # -- checkpoint hook used by ModelCheckpoint ------------------------------
 
     def save(self, path: str):
+        """Write a resumable checkpoint. The device→host snapshot happens
+        here (synchronously — the arrays are donated by the next step);
+        the disk write runs on the background saver thread unless
+        async_checkpointing=False."""
         extras = {"model_name": getattr(self.module, "model_name", None)}
-        save_checkpoint(path, self.module.kind, self.module.hparams,
-                        self.state.params, self.state.opt_state,
-                        int(self.state.step), extras)
+        kind, hparams = self.module.kind, self.module.hparams
+        params = jax.device_get(self.state.params)
+        opt_state = jax.device_get(self.state.opt_state)
+        step = int(self.state.step)
+
+        if self.checkpoint_backend == "orbax" or os.path.isdir(path):
+            def write():
+                save_orbax(path, kind, hparams, params, opt_state, step,
+                           extras)
+        else:
+            def write():
+                save_checkpoint(path, kind, hparams, params, opt_state,
+                                step, extras)
+
+        # async only while fit() is running (keeps writes off the step
+        # path); a direct save() call must be durable when it returns
+        if self.async_checkpointing and self._in_fit:
+            self._saver.submit(write)
+        else:
+            self._saver.wait()  # keep latest-wins ordering
+            write()
+
+    def flush_checkpoints(self):
+        """Block until the in-flight async checkpoint write completes."""
+        self._saver.wait()
 
     def _checkpoint_callbacks(self):
         return [c for c in self.callbacks if isinstance(c, ModelCheckpoint)]
@@ -82,6 +121,15 @@ class Trainer:
 
     def fit(self, model, train_dataloaders, val_dataloaders=None,
             init_params=None, resume_from: Optional[str] = None):
+        try:
+            self._in_fit = True
+            return self._fit(model, train_dataloaders, val_dataloaders,
+                             init_params, resume_from)
+        finally:
+            self._in_fit = False
+
+    def _fit(self, model, train_dataloaders, val_dataloaders=None,
+             init_params=None, resume_from: Optional[str] = None):
         self.module = model
         epochs = 1 if self.fast_dev_run else self.max_epochs
         steps_per_epoch = (1 if self.fast_dev_run
@@ -98,22 +146,36 @@ class Trainer:
         val_root = jax.random.fold_in(root, 2)
         self.state = model.init_state(init_rng)
         start_epoch = 0
+        skip_steps = 0
         if resume_from is not None:
             # preemption recovery: restore params + optimizer state + step,
-            # fast-forward to the interrupted epoch (SURVEY §5 failure row —
-            # the reference has no resume path at all)
+            # fast-forward to the interrupted position — epoch AND offset
+            # within it (loaders are epoch-keyed, so skipping the already-
+            # consumed batches replays the exact uninterrupted stream)
             from .kge_module import TrainState
 
-            ckpt = load_checkpoint(resume_from)
-            assert ckpt["opt_state"] is not None, \
-                "checkpoint lacks optimizer state; cannot resume"
+            ckpt = load_any(resume_from)
+            if ckpt.get("opt_state") is not None:
+                opt_state = jax.tree_util.tree_map(jax.numpy.asarray,
+                                                   ckpt["opt_state"])
+            elif ckpt.get("opt_leaves") is not None:
+                # orbax stores flattened leaves; rebuild optax's real
+                # container classes from a template (checkpoint.save_orbax)
+                template = model.tx.init(self.state.params)
+                treedef = jax.tree_util.tree_structure(template)
+                opt_state = jax.tree_util.tree_unflatten(
+                    treedef, [jax.numpy.asarray(x)
+                              for x in ckpt["opt_leaves"]])
+            else:
+                raise AssertionError(
+                    "checkpoint lacks optimizer state; cannot resume")
             step = ckpt["step"]
             self.state = TrainState(
                 jax.tree_util.tree_map(jax.numpy.asarray, ckpt["params"]),
-                jax.tree_util.tree_map(jax.numpy.asarray,
-                                       ckpt["opt_state"]),
+                opt_state,
                 jax.numpy.asarray(step, jax.numpy.int32))
             start_epoch = step // max(steps_per_epoch, 1)
+            skip_steps = step - start_epoch * steps_per_epoch
             self.global_step = int(step)
         elif init_params is not None:
             # warm start (load_from_checkpoint → fit, train_dpi.py:32)
@@ -134,8 +196,14 @@ class Trainer:
             n_edges = 0
             last_loss = 0.0
             k = 1 if self.fast_dev_run else self.steps_per_execution
+            skip = skip_steps if epoch == start_epoch else 0
             for kind, batch, steps, edges in prefetch(
                     self._train_stream(train_dataloaders, k)):
+                if skip > 0:
+                    # resume fast-forward: drop batches the interrupted run
+                    # already consumed (same epoch-keyed stream)
+                    skip -= steps
+                    continue
                 step_rng = jax.random.fold_in(train_root, self.global_step)
                 if kind == "group":
                     self.state, logs = model.train_steps(self.state, batch,
@@ -147,6 +215,14 @@ class Trainer:
                 self.global_step += steps
                 n_batches += steps
                 n_edges += edges
+                if self.enable_checkpointing and \
+                        self.checkpoint_every_n_steps and \
+                        self.default_root_dir and \
+                        self.global_step % self.checkpoint_every_n_steps \
+                        < steps:
+                    # async, latest-wins: the preemption-recovery anchor
+                    self.save(os.path.join(self.default_root_dir,
+                                           "step_last.ckpt"))
                 if self.logger and \
                         self.global_step % self.log_every_n_steps < steps:
                     self.logger.log({"train_loss": float(last_loss)},
@@ -194,6 +270,7 @@ class Trainer:
                 if self.enable_progress_bar:
                     print(f"[early stop] epoch {epoch}")
                 break
+        self.flush_checkpoints()
         return self.state
 
     @staticmethod
@@ -243,8 +320,9 @@ class Trainer:
         self.module = model
         if ckpt_path == "best":
             ckpt_path = self.best_model_path
+            self.flush_checkpoints()  # the best ckpt may still be in flight
         if ckpt_path:
-            ckpt = load_checkpoint(ckpt_path)
+            ckpt = load_any(ckpt_path)
             params = ckpt["params"]
         elif params is None:
             params = self.state.params
