@@ -29,9 +29,31 @@ def make_mesh(dp: Optional[int] = None, tp: int = 1,
     return Mesh(arr, axis_names=("dp", "tp"))
 
 
-def distributed_init_if_needed():  # pragma: no cover - multi-host only
-    """Multi-host bring-up over DCN (no-op in single-process runs)."""
+def distributed_init_if_needed():
+    """Multi-host bring-up over DCN (no-op in single-process runs).
+
+    Config via env: JAX_COORDINATOR_ADDRESS (required to activate),
+    JAX_NUM_PROCESSES + JAX_PROCESS_ID (explicit topology; omitted → jax's
+    own cluster auto-detection). Exercised for real by the 2-process CPU
+    test (tests/test_multihost.py) — gradients psum over Gloo exactly as
+    they would over DCN on a multi-host pod.
+    """
     import os
 
-    if "JAX_COORDINATOR_ADDRESS" in os.environ:
-        jax.distributed.initialize()
+    addr = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if not addr:
+        return
+    if "JAX_NUM_PROCESSES" in os.environ:
+        jax.distributed.initialize(
+            coordinator_address=addr,
+            num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
+            process_id=int(os.environ["JAX_PROCESS_ID"]))
+    else:  # pragma: no cover - cluster auto-detect
+        jax.distributed.initialize(coordinator_address=addr)
+
+
+def host_local_batch_seed(seed: int) -> int:
+    """Per-host loader seed: seed + process_index, so each host samples a
+    DISJOINT batch stream under one global seed (the multi-host data story
+    — without this every host would train on identical batches)."""
+    return int(seed) + jax.process_index()
