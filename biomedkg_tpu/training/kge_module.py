@@ -91,6 +91,7 @@ class KGEModule(JittedStepsMixin):
         self.neg_ratio = _parse_neg_ratio(neg_ratio)
         self.seed = seed
         self._fix_edge_id: Optional[int] = None
+        self._filter_negatives = False
         self._edge_index_map: Dict[int, str] = {}
 
         self.valid_metrics = BootstrappedBinaryMetrics(prefix="val_")
@@ -132,6 +133,22 @@ class KGEModule(JittedStepsMixin):
     def fix_edge_id(self, edge_id: int):
         self._fix_edge_id = edge_id
         self._jit_cache.clear()  # step functions close over the fixed id
+
+    @property
+    def filter_negatives(self) -> bool:
+        return self._filter_negatives
+
+    @filter_negatives.setter
+    def filter_negatives(self, value: bool):
+        """Observed-pair exclusion for sampled negatives (PyG
+        ``negative_sampling`` semantics, reference kge_module.py:93):
+        candidates colliding with a REAL batch edge are resampled for up
+        to 3 rounds — the same bounded-retry approximation PyG itself
+        uses. Off by default (rejection-free corruption; <0.1% collisions
+        at PrimeKG sparsity, tests/test_negatives.py); turn on for the
+        eval protocol where collisions deflate measured AUROC."""
+        self._filter_negatives = bool(value)
+        self._jit_cache.clear()
 
     # -- functional core ------------------------------------------------------
 
@@ -205,6 +222,43 @@ class KGEModule(JittedStepsMixin):
                    * num_real_nodes).astype(jnp.int32)
         neg_dst = (jax.random.uniform(r_d, (ratio, num_edges))
                    * num_real_nodes).astype(jnp.int32)
+        if self._filter_negatives:
+            # observed-pair exclusion (PyG negative_sampling,
+            # kge_module.py:93): reject candidates matching a real batch
+            # edge and resample, 3 bounded rounds (PyG's own retry cap).
+            # Membership test = searchsorted over the batch's sorted
+            # (src, dst) keys — O(K·E·log E) on device, no host sync.
+            # Keys are int32 (x64 is disabled on TPU): fine for batch-local
+            # exclusion where n_pad² < 2³¹ — enforced statically.
+            n_pad = batch.node_mask.shape[0]
+            assert n_pad <= 46340, (
+                f"filter_negatives packs (src, dst) into int32 keys; "
+                f"node budget {n_pad} overflows — shrink the batch "
+                f"envelope or extend the keys to a two-column search")
+            big = jnp.array(np.iinfo(np.int32).max, jnp.int32)
+            edge_keys = jnp.where(emask.astype(bool),
+                                  src.astype(jnp.int32) * n_pad
+                                  + dst.astype(jnp.int32), big)
+            edge_keys = jnp.sort(edge_keys)
+
+            def observed(ns, nd):
+                cand = ns * n_pad + nd
+                pos = jnp.searchsorted(edge_keys, cand.reshape(-1))
+                pos = pos.reshape(cand.shape)
+                found = jnp.take(edge_keys,
+                                 jnp.minimum(pos, edge_keys.shape[0] - 1))
+                return (pos < edge_keys.shape[0]) & (found == cand)
+
+            for i in range(3):
+                hit = observed(neg_src, neg_dst)
+                rr = jax.random.fold_in(r_perm, i)
+                rs2, rd2 = jax.random.split(rr)
+                res_s = (jax.random.uniform(rs2, neg_src.shape)
+                         * num_real_nodes).astype(jnp.int32)
+                res_d = (jax.random.uniform(rd2, neg_dst.shape)
+                         * num_real_nodes).astype(jnp.int32)
+                neg_src = jnp.where(hit, res_s, neg_src)
+                neg_dst = jnp.where(hit, res_d, neg_dst)
         del r_perm
         z_neg = (z.astype(jnp.bfloat16)
                  if self.compute_dtype == jnp.bfloat16 else z)

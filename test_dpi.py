@@ -22,6 +22,7 @@ def main(cfg):
 
     model, params = load_kge_module(cfg.pretrained_path)
     model.neg_ratio = _parse_neg_ratio(cfg.neg_ratio)
+    model.filter_negatives = bool(cfg.get("filter_neg", False))
     model.edge_mapping = data_module.edge_map_index
 
     # device-resident feature table: batches carry node ids only

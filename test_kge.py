@@ -23,6 +23,9 @@ def main(cfg):
 
     model, params = load_kge_module(cfg.pretrained_path)
     model.neg_ratio = _parse_neg_ratio(cfg.neg_ratio)
+    # optional eval-protocol knob: filter_neg=true rejects sampled
+    # negatives colliding with observed batch edges (PyG parity)
+    model.filter_negatives = bool(cfg.get("filter_neg", False))
     model.edge_mapping = data_module.edge_map_index
 
     # device-resident feature table: batches carry node ids only

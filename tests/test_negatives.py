@@ -62,3 +62,113 @@ def test_negative_count_and_type_shuffle():
     # reconstruct neg types from the loss aux is not exposed; instead check
     # the weighted count matches: each real edge contributes its type twice.
     assert int(neg_w.sum()) == 2 * e
+
+
+def test_filtered_negatives_exclude_observed_pairs():
+    """filter_negatives=True: sampled negatives collide with batch edges at
+    (near) zero rate — the PyG negative_sampling eval protocol — while the
+    default rejection-free path keeps its quantified small collision rate.
+    A dense small graph makes unfiltered collisions frequent enough to
+    detect the difference."""
+    import jax.numpy as jnp
+
+    from biomedkg_tpu.sampling.batch import pad_graph_batch
+    from biomedkg_tpu.training.kge_module import KGEModule
+
+    rng = np.random.default_rng(3)
+    n, e, r = 32, 400, 2  # ~40% of all pairs are edges → collisions certain
+    x = rng.standard_normal((n, 8)).astype(np.float32)
+    ei = rng.integers(0, n, (2, e))
+    et = rng.integers(0, r, e)
+    batch = pad_graph_batch(x, ei, et, num_relations=r, node_budget=64,
+                            edge_budget=512, block_size=64)
+
+    def collisions(module, key):
+        """Count sampled-negative hits on real batch edges by replaying
+        the module's rng stream (same splits as _forward_loss)."""
+        params = module.init(jax.random.PRNGKey(0))
+        # run the real loss once to make sure the path executes
+        loss, _ = module._forward_loss(params, batch, key, training=False)
+        assert np.isfinite(float(loss))
+        # replicate sampling (+ the same filtering rounds if enabled)
+        _, _, r_neg, r_perm = jax.random.split(key, 4)
+        r_s, r_d = jax.random.split(r_neg)
+        ratio, num_edges = module.neg_ratio, batch.edge_type.shape[0]
+        nreal = int(batch.node_mask.sum())
+        ns = (jax.random.uniform(r_s, (ratio, num_edges)) * nreal
+              ).astype(jnp.int32)
+        nd = (jax.random.uniform(r_d, (ratio, num_edges)) * nreal
+              ).astype(jnp.int32)
+        if module.filter_negatives:
+            n_pad = batch.node_mask.shape[0]
+            big = np.iinfo(np.int32).max
+            keys = np.where(batch.edge_mask,
+                            batch.edge_index[0].astype(np.int64) * n_pad
+                            + batch.edge_index[1], big)
+            keys = np.sort(keys)
+
+            def observed(a, b):
+                cand = np.asarray(a).astype(np.int64) * n_pad + np.asarray(b)
+                pos = np.searchsorted(keys, cand.reshape(-1)).reshape(
+                    cand.shape)
+                found = keys[np.minimum(pos, len(keys) - 1)]
+                return (pos < len(keys)) & (found == cand)
+
+            ns, nd = np.asarray(ns), np.asarray(nd)
+            for i in range(3):
+                hit = observed(ns, nd)
+                rr = jax.random.fold_in(r_perm, i)
+                rs2, rd2 = jax.random.split(rr)
+                res_s = np.asarray((jax.random.uniform(rs2, ns.shape)
+                                    * nreal)).astype(np.int32)
+                res_d = np.asarray((jax.random.uniform(rd2, nd.shape)
+                                    * nreal)).astype(np.int32)
+                ns = np.where(hit, res_s, ns)
+                nd = np.where(hit, res_d, nd)
+        true = set(zip(batch.edge_index[0][batch.edge_mask].tolist(),
+                       batch.edge_index[1][batch.edge_mask].tolist()))
+        ns, nd = np.asarray(ns).ravel(), np.asarray(nd).ravel()
+        return sum((a, b) in true for a, b in zip(ns, nd)) / len(ns)
+
+    def make(filtered):
+        m = KGEModule(
+            encoder_name="rgcn", decoder_name="dismult", in_dim=8,
+            hidden_dim=8, out_dim=8, num_hidden_layers=0, num_relation=r,
+            num_heads=1, scheduler_type="cosine", learning_rate=1e-3,
+            warm_up_ratio=0.2, fuse_method="none", neg_ratio=4,
+            node_init_method="random")
+        m.filter_negatives = filtered
+        return m
+
+    key = jax.random.PRNGKey(7)
+    rate_plain = collisions(make(False), key)
+    rate_filtered = collisions(make(True), key)
+    assert rate_plain > 0.1, rate_plain          # dense graph → many hits
+    # 3 rejection rounds at hit-rate p leave ~p^4 residue
+    assert rate_filtered < rate_plain ** 3, (rate_filtered, rate_plain)
+
+
+def test_filtered_negatives_gradient_path():
+    """The filtering rounds sit inside the jitted train step — the grad
+    path must stay finite and collision-free sampling must not detach the
+    negatives from the loss."""
+    from biomedkg_tpu.sampling.batch import pad_graph_batch
+    from biomedkg_tpu.training.kge_module import KGEModule
+
+    rng = np.random.default_rng(4)
+    n, e, r = 48, 300, 2
+    x = rng.standard_normal((n, 8)).astype(np.float32)
+    batch = pad_graph_batch(x, rng.integers(0, n, (2, e)),
+                            rng.integers(0, r, e), num_relations=r,
+                            node_budget=64, edge_budget=384, block_size=64)
+    m = KGEModule(
+        encoder_name="rgcn", decoder_name="dismult", in_dim=8, hidden_dim=8,
+        out_dim=8, num_hidden_layers=0, num_relation=r, num_heads=1,
+        scheduler_type="cosine", learning_rate=1e-3, warm_up_ratio=0.2,
+        fuse_method="none", neg_ratio=2, node_init_method="random")
+    m.filter_negatives = True
+    m.configure_optimizers(2)
+    state = m.init_state(jax.random.PRNGKey(0))
+    state, logs = m.train_step(state, jax.device_put(batch),
+                               jax.random.PRNGKey(1))
+    assert np.isfinite(float(logs["train_loss"]))
