@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from .. import nn
-from ..ops.segment import take_rows
+from ..ops.segment import take_rows, take_rows_matbwd, take_rows_sorted
 
 
 class _Decoder:
@@ -50,7 +50,7 @@ class _Decoder:
         t = take_rows(z, neg_dst.reshape(-1)).reshape(k, e, -1)
         # follow z's dtype: in bf16 mixed-precision mode the (K·E, d)
         # gathers/products halve their HBM traffic
-        r = take_rows(params["rel_emb"], rel).astype(z.dtype)  # (E, d)
+        r = take_rows_matbwd(params["rel_emb"], rel).astype(z.dtype)  # (E, d)
         return self._combine(h, r[None], t).astype(jnp.float32)
 
     def _combine(self, h, r, t):  # pragma: no cover - overridden
@@ -80,20 +80,20 @@ class TransE(_Decoder):
     def score(self, params, z, head, tail, rel):
         h = self._l1_normalize(take_rows(z, head))
         t = self._l1_normalize(take_rows(z, tail))
-        r = take_rows(params["rel_emb"], rel)
+        r = take_rows_matbwd(params["rel_emb"], rel)
         return -jnp.sum(jnp.abs(h + r - t), axis=-1)
 
     def score_all_tails(self, params, z, head, rel):
         zn = self._l1_normalize(z)                      # (N, d)
         h = take_rows(zn, head)                  # (E, d)
-        r = take_rows(params["rel_emb"], rel)    # (E, d)
+        r = take_rows_matbwd(params["rel_emb"], rel)    # (E, d)
         hr = (h + r)[:, None, :]                        # (E, 1, d)
         return -jnp.sum(jnp.abs(hr - zn[None, :, :]), axis=-1)
 
     def score_all_heads(self, params, z, tail, rel):
         zn = self._l1_normalize(z)
         t = take_rows(zn, tail)
-        r = take_rows(params["rel_emb"], rel)
+        r = take_rows_matbwd(params["rel_emb"], rel)
         rt = (r - t)[:, None, :]                        # (E, 1, d)
         return -jnp.sum(jnp.abs(zn[None, :, :] + rt), axis=-1)
 
@@ -104,20 +104,46 @@ class DistMult(_Decoder):
     def _combine(self, h, r, t):
         return jnp.sum(h * r * t, axis=-1)
 
+    def score_neg_sorted(self, params, z, neg_src, neg_dst, rel):
+        """Flat negative scoring tuned for the sorted-source sampler.
+
+        ``neg_src`` is a SORTED (K·E,) index vector (kge_module's
+        stratified-uniform sampler), ``neg_dst`` iid, ``rel`` the per-slot
+        relation ids. Two trace-driven restructurings vs ``score_neg``:
+
+        * the h-side gather uses ``take_rows_sorted`` whose backward is the
+          Pallas windowed one-hot segment-sum (ops/pallas/segsum.py) instead
+          of XLA's slow scatter fusion — the round-1 top device cost;
+        * relation rows are never materialized per-slot ("project then
+          select"): scores for ALL R relations come from one
+          (K·E, d) @ (d, R) MXU matmul and the slot's relation picks its
+          column, so the rel_emb gradient is a clean matmul too. Exact for
+          any decoder bilinear in r (DistMult, ComplEx).
+        """
+        h = take_rows_sorted(z, neg_src)
+        t = take_rows(z, neg_dst)
+        ht = h * t
+        all_rel = jnp.dot(ht, params["rel_emb"].T.astype(z.dtype),
+                          preferred_element_type=jnp.float32)  # (K·E, R)
+        onehot = (rel[:, None]
+                  == jnp.arange(self.num_relations,
+                                dtype=rel.dtype)[None, :])
+        return jnp.sum(all_rel * onehot, axis=-1)
+
     def score(self, params, z, head, tail, rel):
         h = take_rows(z, head)
         t = take_rows(z, tail)
-        r = take_rows(params["rel_emb"], rel)
+        r = take_rows_matbwd(params["rel_emb"], rel)
         return jnp.sum(h * r * t, axis=-1)
 
     def score_all_tails(self, params, z, head, rel):
         h = take_rows(z, head)
-        r = take_rows(params["rel_emb"], rel)
+        r = take_rows_matbwd(params["rel_emb"], rel)
         return jnp.dot(h * r, z.T, preferred_element_type=jnp.float32)
 
     def score_all_heads(self, params, z, tail, rel):
         t = take_rows(z, tail)
-        r = take_rows(params["rel_emb"], rel)
+        r = take_rows_matbwd(params["rel_emb"], rel)
         return jnp.dot(t * r, z.T, preferred_element_type=jnp.float32)
 
 
@@ -143,14 +169,14 @@ class ComplEx(_Decoder):
     def score(self, params, z, head, tail, rel):
         h_re, h_im = self._chunk(take_rows(z, head))
         t_re, t_im = self._chunk(take_rows(z, tail))
-        r_re, r_im = self._chunk(take_rows(params["rel_emb"], rel))
+        r_re, r_im = self._chunk(take_rows_matbwd(params["rel_emb"], rel))
         s = (h_re * r_re - h_im * r_im) * t_re
         s += (h_re * r_im + h_im * r_re) * t_im
         return jnp.sum(s, axis=-1)
 
     def score_all_tails(self, params, z, head, rel):
         h_re, h_im = self._chunk(take_rows(z, head))
-        r_re, r_im = self._chunk(take_rows(params["rel_emb"], rel))
+        r_re, r_im = self._chunk(take_rows_matbwd(params["rel_emb"], rel))
         z_re, z_im = self._chunk(z)
         a = h_re * r_re - h_im * r_im                   # (E, d/2)
         b = h_re * r_im + h_im * r_re
@@ -159,7 +185,7 @@ class ComplEx(_Decoder):
 
     def score_all_heads(self, params, z, tail, rel):
         t_re, t_im = self._chunk(take_rows(z, tail))
-        r_re, r_im = self._chunk(take_rows(params["rel_emb"], rel))
+        r_re, r_im = self._chunk(take_rows_matbwd(params["rel_emb"], rel))
         z_re, z_im = self._chunk(z)
         # Re(<h, r, conj(t)>) grouped by h components:
         a = t_re * r_re + t_im * r_im                   # coeff of h_re
@@ -202,7 +228,7 @@ class RotatE(_Decoder):
 
     def _rotated(self, params, z, head, rel):
         h_re, h_im = self._chunk(take_rows(z, head))
-        theta = take_rows(params["rel_emb"], rel)
+        theta = take_rows_matbwd(params["rel_emb"], rel)
         c, s = jnp.cos(theta), jnp.sin(theta)
         return h_re * c - h_im * s, h_re * s + h_im * c
 
@@ -225,7 +251,7 @@ class RotatE(_Decoder):
         # |h∘r - t| = |h - t∘conj(r)| (rotation is an isometry), so rotate
         # the tail backwards and compare against all candidate heads.
         t_re, t_im = self._chunk(take_rows(z, tail))
-        theta = take_rows(params["rel_emb"], rel)
+        theta = take_rows_matbwd(params["rel_emb"], rel)
         c, s = jnp.cos(theta), jnp.sin(theta)
         bt_re = t_re * c + t_im * s
         bt_im = -t_re * s + t_im * c

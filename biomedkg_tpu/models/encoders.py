@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from .. import nn
-from ..ops.segment import take_rows
+from ..ops.segment import take_rows, take_rows_matbwd
 from ..ops import (
     per_dst_relation_counts,
     relation_matmul,
@@ -101,7 +101,12 @@ class RGCN:
             h = relation_matmul(msg, lp["w_rel"], edge_type, block_rel)
         cnt = per_dst_relation_counts(dst, edge_type, edge_mask, num_nodes,
                                       self.num_relations)
-        norm = edge_mask.astype(h.dtype) / jnp.maximum(cnt[dst, edge_type], 1.0)
+        # clip-mode 1-D take: ``cnt[dst, edge_type]`` 2-D indexing lowers
+        # to a slow scalar-path gather fusion on TPU (round-2 trace)
+        flat_cnt = jnp.take(cnt.reshape(-1),
+                            dst * self.num_relations + edge_type,
+                            mode="clip")
+        norm = edge_mask.astype(h.dtype) / jnp.maximum(flat_cnt, 1.0)
         agg = scatter_add(h * norm[:, None], dst, num_nodes)
         return jnp.dot(x, lp["w_root"],
                        preferred_element_type=jnp.float32).astype(x.dtype) \
@@ -167,8 +172,8 @@ class RGAT:
         hd = relation_matmul(msg_dst, lp["w_rel"], edge_type, block_rel)
         hs = hs.reshape(-1, heads, dout)
         hd = hd.reshape(-1, heads, dout)
-        a_src = take_rows(lp["att_src"], edge_type)   # (E, H, dh)
-        a_dst = take_rows(lp["att_dst"], edge_type)
+        a_src = take_rows_matbwd(lp["att_src"], edge_type)   # (E, H, dh)
+        a_dst = take_rows_matbwd(lp["att_dst"], edge_type)
         logits = jax.nn.leaky_relu(
             jnp.sum(hs * a_src, -1) + jnp.sum(hd * a_dst, -1), 0.2)  # (E, H)
         alpha = segment_softmax(logits, dst, num_nodes, mask=edge_mask)

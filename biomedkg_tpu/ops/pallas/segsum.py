@@ -1,0 +1,178 @@
+"""Pallas TPU kernel: segment-sum of rows keyed by SORTED segment ids.
+
+The KGE negative path scatter-adds (K·E, d) gradient rows into the batch's
+(N, d) node-embedding gradient. XLA lowers that scatter to a ~200 GB/s
+fusion — the single largest cost in the round-1 trace (PERF.md). When the
+segment ids are sorted (the framework samples negative sources as sorted
+uniforms — see training/kge_module.py), each contiguous chunk of rows
+touches only a narrow window of output rows, so the reduction becomes a
+dense MXU matmul against a tiny one-hot built in registers:
+
+    out[lo:lo+W] += onehotᵀ(ids - lo) @ data_chunk        (W × B) @ (B × d)
+
+The output block lives in VMEM for the whole grid (constant index map) and
+is written back to HBM once. Rows whose id falls outside their chunk's
+window are dropped by the kernel and summed by a (runtime-conditional,
+normally skipped) XLA fallback — the op is exact for ANY sorted input.
+
+This replaces the torch-scatter CUDA backward kernels behind PyG's
+negative-sampling decode path (reference biomedkg/kge_module.py:86-129).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BLOCK = 2048      # rows reduced per grid step (MXU contraction dim)
+WINDOW = 256      # output rows addressable per chunk
+ALIGN = 128       # window base alignment
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _kernel(lo_ref, ids_ref, data_ref, out_ref):
+    c = pl.program_id(0)
+
+    @pl.when(c == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    lo = lo_ref[c] * ALIGN
+    ids = ids_ref[c, :]                                 # (BLOCK,) lane-major
+    # one-hot built (WINDOW, BLOCK): the lane-major ids broadcast along
+    # sublanes against the window iota — no relayout; invalid ids (< 0,
+    # padding) and out-of-window ids never match any row.
+    rows = jax.lax.broadcasted_iota(jnp.int32, (WINDOW, BLOCK), 0) + lo
+    oh = (rows == ids[None, :]).astype(data_ref.dtype)
+    acc = jax.lax.dot_general(                          # oh @ data
+        oh, data_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    out_ref[pl.ds(lo, WINDOW), :] += acc
+
+
+def _segsum_pallas(data, ids, lo_blocks, num_out_padded):
+    num_chunks = data.shape[0] // BLOCK
+    d = data.shape[1]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(num_chunks,),
+        in_specs=[
+            # full ids array resident in VMEM (4 B/row): a (BLOCK, 1)
+            # column layout would lane-pad 128× (a 262 MB relayout copy,
+            # caught in the round-2 trace) and (1, BLOCK) blocks violate
+            # the (8, 128) tiling rule.
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((BLOCK, d), lambda c, lo: (c, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((num_out_padded, d), lambda c, lo: (0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        _kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((num_out_padded, d), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * data.shape[0] * WINDOW * d,
+            bytes_accessed=data.size * data.dtype.itemsize
+            + num_out_padded * d * 4,
+            transcendentals=0,
+        ),
+    )(lo_blocks, ids.reshape(num_chunks, BLOCK), data)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def sorted_segment_sum(data: jax.Array, ids: jax.Array,
+                       num_segments: int) -> jax.Array:
+    """``out[n] = Σ_{i: ids[i] == n} data[i]`` for (near-)sorted ``ids``.
+
+    Args:
+      data: (M, d) rows; f32 or bf16 (accumulation is f32 either way).
+      ids: (M,) int32 in [0, num_segments); rows to ignore carry id -1.
+        Exactness holds for any input; *performance* requires ids sorted
+        ascending (modulo -1 padding) so chunk windows stay narrow.
+      num_segments: static output row count.
+
+    Returns (num_segments, d) f32.
+    """
+    return _segsum_impl(data, ids, num_segments)
+
+
+def _segsum_xla(data, ids, num_segments):
+    """Plain segment_sum path (CPU test meshes / non-TPU backends)."""
+    ids = ids.astype(jnp.int32)
+    safe = jnp.where(ids >= 0, ids, num_segments)
+    return jax.ops.segment_sum(
+        data.astype(jnp.float32), safe,
+        num_segments=num_segments + 1)[:num_segments]
+
+
+def _segsum_impl(data, ids, num_segments):
+    if jax.default_backend() not in ("tpu", "axon") \
+            and not _FORCE_KERNEL:
+        return _segsum_xla(data, ids, num_segments)
+    return _segsum_kernel_path(data, ids, num_segments)
+
+
+_FORCE_KERNEL = False  # tests flip this under force_tpu_interpret_mode
+
+
+def _segsum_kernel_path(data, ids, num_segments):
+    m, d = data.shape
+    ids = ids.astype(jnp.int32)
+    m_pad = _round_up(max(m, BLOCK), BLOCK)
+    n_pad = _round_up(max(num_segments, WINDOW), ALIGN)
+    if m_pad != m:
+        data = jnp.pad(data, ((0, m_pad - m), (0, 0)))
+        ids = jnp.pad(ids, (0, m_pad - m), constant_values=-1)
+
+    # per-chunk window base, in ALIGN units: the chunk's FIRST element
+    # (sorted ids ⇒ the chunk minimum), clamped so the window fits. A
+    # strided slice, deliberately: segment-min / small-int gathers lower
+    # to multi-ms scalar-path fusions on this backend (PERF.md trace).
+    valid = ids >= 0
+    first = jnp.maximum(ids[::BLOCK], 0)
+    lo_blocks = jnp.clip(first // ALIGN, 0, (n_pad - WINDOW) // ALIGN)
+
+    out = _segsum_pallas(data, ids, lo_blocks, n_pad)[:num_segments]
+
+    # exactness fallback: rows outside their chunk's window (never, for
+    # sorted dense ids; possible for adversarial/irregular inputs) are
+    # reduced by a plain segment_sum — inside a cond so the common case
+    # pays one scalar test only. lo broadcasts chunk→rows (NOT a gather —
+    # see above).
+    lo_rows = jnp.broadcast_to(
+        lo_blocks[:, None] * ALIGN, (m_pad // BLOCK, BLOCK)).reshape(-1)
+    in_window = ((ids >= lo_rows) & (ids - lo_rows < WINDOW)) | ~valid
+    num_out = jnp.sum(~in_window)
+
+    def _fallback(_):
+        leftover = jnp.where(in_window[:, None], 0.0,
+                             data.astype(jnp.float32))
+        safe_ids = jnp.where(valid, ids, num_segments)
+        return out + jax.ops.segment_sum(
+            leftover, safe_ids, num_segments=num_segments + 1)[:num_segments]
+
+    return jax.lax.cond(num_out > 0, _fallback, lambda _: out, None)
+
+
+def _segsum_fwd(data, ids, num_segments):
+    return _segsum_impl(data, ids, num_segments), ids
+
+
+def _segsum_bwd(num_segments, ids, g):
+    safe = jnp.clip(ids, 0, num_segments - 1)
+    d_data = jnp.take(g, safe, axis=0, mode="clip")
+    d_data = jnp.where((ids >= 0)[:, None], d_data, 0.0)
+    return d_data, None
+
+
+sorted_segment_sum.defvjp(_segsum_fwd, _segsum_bwd)

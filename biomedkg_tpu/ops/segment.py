@@ -54,6 +54,68 @@ def _take_rows_bwd(res, g):
 take_rows.defvjp(_take_rows_fwd, _take_rows_bwd)
 
 
+@jax.custom_vjp
+def take_rows_matbwd(x, index) -> jax.Array:
+    """Row gather from a SMALL table with a one-hot-matmul backward.
+
+    For tables with few rows (relation embeddings: R ≈ 8-64 on PrimeKG),
+    the autodiff scatter-add of the gather transpose lowers to a fusion
+    that drags the whole upstream elementwise computation down to
+    ~200 GB/s (PERF.md trace: the rel-grad scatter fusion was 5.75 ms of a
+    31 ms step). Expressing the transpose as ``onehot(index, R)ᵀ @ g``
+    keeps the upstream fusion a clean (full-bandwidth) elementwise kernel
+    and turns the reduction itself into a tiny MXU matmul.
+
+    Numerics: the matmul accumulates in f32 (same as segment_sum on f32
+    gradients); results match scatter_add to float rounding.
+    """
+    return _fast_gather(jnp.asarray(x), jnp.asarray(index))
+
+
+def _take_rows_matbwd_fwd(x, index):
+    return take_rows_matbwd(x, index), (index, x.shape[0])
+
+
+def _take_rows_matbwd_bwd(res, g):
+    index, n = res
+    onehot = (index[:, None] == jnp.arange(n, dtype=index.dtype)[None, :])
+    dx = jax.lax.dot_general(
+        onehot.astype(g.dtype), g,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(g.dtype)
+    return dx, None
+
+
+take_rows_matbwd.defvjp(_take_rows_matbwd_fwd, _take_rows_matbwd_bwd)
+
+
+@jax.custom_vjp
+def take_rows_sorted(x, index) -> jax.Array:
+    """Row gather whose backward uses the Pallas sorted-segment-sum kernel.
+
+    For SORTED ``index`` (the KGE negative-source sampler emits sorted
+    uniforms, training/kge_module.py) the gather transpose touches only a
+    narrow window of output rows per chunk, so the scatter-add becomes a
+    dense MXU matmul (ops/pallas/segsum.py) instead of XLA's ~200 GB/s
+    scatter fusion. Exact for any index order; fast when sorted.
+    """
+    return _fast_gather(jnp.asarray(x), jnp.asarray(index))
+
+
+def _take_rows_sorted_fwd(x, index):
+    return take_rows_sorted(x, index), (index, x.shape[0])
+
+
+def _take_rows_sorted_bwd(res, g):
+    from .pallas.segsum import sorted_segment_sum
+
+    index, n = res
+    return sorted_segment_sum(g, index, n).astype(g.dtype), None
+
+
+take_rows_sorted.defvjp(_take_rows_sorted_fwd, _take_rows_sorted_bwd)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
 def scatter_add(values: jax.Array, index: jax.Array,
                 num_segments: int) -> jax.Array:

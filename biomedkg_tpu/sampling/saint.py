@@ -79,7 +79,12 @@ class SaintRandomWalkSampler:
                 (counts + self.block_size - 1) // self.block_size
             ) * self.block_size)
             worst = max(worst, padded)
-        return _round_up(int(worst * 1.5), self.block_size)
+        # align to lcm(block_size, 2048): relation blocks stay aligned AND
+        # the negative path's K·E slot count is a multiple of the Pallas
+        # segment-sum chunk (ops/pallas/segsum.py BLOCK), so no runtime pad
+        # of the (K·E, d) gradient is needed.
+        lcm = int(np.lcm(self.block_size, 2048))
+        return _round_up(int(worst * 1.5), lcm)
 
     def _sample_raw(self, rng: np.random.Generator):
         roots = rng.integers(0, self.graph.num_nodes, self.batch_size)

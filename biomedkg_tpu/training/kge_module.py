@@ -40,6 +40,35 @@ from .optim import make_optimizer
 from .stepping import JittedStepsMixin, TrainState  # noqa: F401 (re-export)
 
 
+def _mix_factor(e: int) -> int:
+    """Largest divisor of ``e`` that is ≤ √e (stride for the transpose
+    permutation decorrelating relation runs from the sorted source
+    sample — see _forward_loss)."""
+    best = 1
+    d = 1
+    while d * d <= e:
+        if e % d == 0:
+            best = d
+        d += 1
+    return best
+
+
+def sample_negatives_sorted(r_src, r_dst, r_off, ratio: int,
+                            num_edges: int, num_real_nodes):
+    """Stratified-sorted negative sampling (see _forward_loss for the
+    semantics argument). Returns (neg_src sorted (K·E,), neg_dst iid
+    (K·E,), off (K,)) where slot (k, e) of the flat layout pairs with
+    batch edge (e + off[k]) mod E."""
+    ke = ratio * num_edges
+    gaps = -jnp.log(jax.random.uniform(r_src, (ke + 1,), minval=1e-12))
+    cum = jnp.cumsum(gaps)
+    neg_src = (cum[:-1] / cum[-1] * num_real_nodes).astype(jnp.int32)
+    neg_dst = (jax.random.uniform(r_dst, (ke,))
+               * num_real_nodes).astype(jnp.int32)
+    off = jax.random.randint(r_off, (ratio,), 0, num_edges)
+    return neg_src, neg_dst, off
+
+
 def _parse_neg_ratio(neg_ratio) -> Optional[int]:
     """Handle the reference's ``neg_ratio: none`` YAML-string quirk
     (configs/dpi.yaml:14)."""
@@ -92,6 +121,10 @@ class KGEModule(JittedStepsMixin):
         self.seed = seed
         self._fix_edge_id: Optional[int] = None
         self._filter_negatives = False
+        # "sorted": stratified-sorted negative sources (training only;
+        # Pallas fast path, exactly-uniform marginals — see _forward_loss).
+        # "iid": plain iid corruption (round-1 semantics).
+        self._neg_sampler = "sorted"
         self._edge_index_map: Dict[int, str] = {}
 
         self.valid_metrics = BootstrappedBinaryMetrics(prefix="val_")
@@ -133,6 +166,16 @@ class KGEModule(JittedStepsMixin):
     def fix_edge_id(self, edge_id: int):
         self._fix_edge_id = edge_id
         self._jit_cache.clear()  # step functions close over the fixed id
+
+    @property
+    def neg_sampler(self) -> str:
+        return self._neg_sampler
+
+    @neg_sampler.setter
+    def neg_sampler(self, value: str):
+        assert value in ("sorted", "iid"), value
+        self._neg_sampler = value
+        self._jit_cache.clear()  # the step closes over the sampler choice
 
     @property
     def filter_negatives(self) -> bool:
@@ -218,6 +261,61 @@ class KGEModule(JittedStepsMixin):
         num_real_nodes = jnp.maximum(
             jnp.sum(batch.node_mask.astype(jnp.int32)), 1)
         r_s, r_d = jax.random.split(r_neg)
+
+        use_sorted = (self.neg_sampler == "sorted" and training
+                      and not self._filter_negatives
+                      and hasattr(self.model.decoder, "score_neg_sorted"))
+        if use_sorted:
+            # --- stratified-sorted negative sources ---------------------
+            # Sources are drawn as SORTED uniforms via the exponential-
+            # spacing construction (no device sort), so the z-grad scatter
+            # lowers to the Pallas windowed segment-sum (ops/pallas/
+            # segsum.py) instead of XLA's ~200 GB/s scatter — the round-1
+            # top trace cost. Slot (k, e) pairs with edge (e + off_k) mod E
+            # (fresh uniform offsets per step), so every negative's source
+            # marginal is EXACTLY uniform (a mixture of all order
+            # statistics of an iid sample is the sampling distribution)
+            # and each edge's K negatives stratify across K node bands —
+            # unbiased with lower variance than iid corruption. Reference
+            # semantics preserved: shuffled-repeat relation multiset with
+            # uniform endpoints (kge_module.py:86-102); quantified in
+            # tests/test_negatives.py.
+            neg_src, neg_dst, off = sample_negatives_sorted(
+                r_s, r_d, r_perm, ratio, num_edges, num_real_nodes)
+            # Slot (k, s) pairs with edge σ((s + off_k) mod E) where σ is a
+            # fixed stride-transpose permutation. The random cyclic shift
+            # makes every edge's K negatives stratified-uniform across K
+            # node bands; the transpose matters because batch edges are
+            # RELATION-SORTED — without it a relation's (contiguous) edge
+            # run would pair with a narrow band of the sorted source
+            # sample every step, starving it of negative diversity
+            # (observed: visibly slower convergence). Both maps are
+            # realized as dynamic slices + reshapes — small-int GATHERS
+            # (jnp.take / [] indexing) lower to multi-ms scalar-path
+            # fusions on this backend (PERF.md trace).
+            a_dim = _mix_factor(num_edges)
+
+            def _rolled(v):
+                dbl = jnp.concatenate([v, v])
+                return jnp.stack([
+                    jax.lax.dynamic_slice(dbl, (off[k],), (num_edges,))
+                    .reshape(a_dim, num_edges // a_dim).T.reshape(-1)
+                    for k in range(ratio)]).reshape(-1)
+
+            rel_slots = _rolled(etype)
+            z_neg = (z.astype(jnp.bfloat16)
+                     if self.compute_dtype == jnp.bfloat16 else z)
+            neg_pred = self.model.decoder.score_neg_sorted(
+                params["model"]["decoder"], z_neg, neg_src, neg_dst,
+                rel_slots)
+            neg_mask = _rolled(emask)
+            pred = jnp.concatenate([pos_pred, neg_pred])
+            gt = jnp.concatenate([jnp.ones_like(pos_pred),
+                                  jnp.zeros_like(neg_pred)])
+            weights = jnp.concatenate([emask, neg_mask]).astype(pred.dtype)
+            return self._finish_loss(params, batch, z, pred, gt, weights,
+                                     pos_pred, etype, emask)
+
         neg_src = (jax.random.uniform(r_s, (ratio, num_edges))
                    * num_real_nodes).astype(jnp.int32)
         neg_dst = (jax.random.uniform(r_d, (ratio, num_edges))
@@ -259,7 +357,6 @@ class KGEModule(JittedStepsMixin):
                          * num_real_nodes).astype(jnp.int32)
                 neg_src = jnp.where(hit, res_s, neg_src)
                 neg_dst = jnp.where(hit, res_d, neg_dst)
-        del r_perm
         z_neg = (z.astype(jnp.bfloat16)
                  if self.compute_dtype == jnp.bfloat16 else z)
         neg_pred = self.model.decoder.score_neg(
@@ -272,7 +369,12 @@ class KGEModule(JittedStepsMixin):
                               jnp.zeros_like(neg_pred)])
         weights = jnp.concatenate(
             [emask, neg_mask.reshape(-1)]).astype(pred.dtype)
+        return self._finish_loss(params, batch, z, pred, gt, weights,
+                                 pos_pred, etype, emask)
 
+    def _finish_loss(self, params, batch, z, pred, gt, weights, pos_pred,
+                     etype, emask):
+        """Masked BCE + 1e-2·L2 regularization (kge_module.py:127-129)."""
         bce = nn.sigmoid_binary_cross_entropy(pred, gt, weights)
         nmask = batch.node_mask.astype(z.dtype)
         reg_z = jnp.sum((z ** 2) * nmask[:, None]) / (

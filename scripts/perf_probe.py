@@ -1,0 +1,70 @@
+"""Whole-step perf probe on the real chip: compares step variants at the
+bench envelope (PERF.md methodology — value-fetch timing over scan_k-fused
+dispatches). Usage: python scripts/perf_probe.py [variant ...]
+where variant ∈ {sorted, iid, sorted_bf16, iid_bf16}.
+"""
+
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+import bench  # noqa: E402
+
+
+def probe(tg, batches, neg_sampler, compute_dtype, scan_k=8, groups=4):
+    import jax
+
+    from biomedkg_tpu.parallel.dp import stack_batches
+    from biomedkg_tpu.training.kge_module import KGEModule
+
+    module = KGEModule(
+        encoder_name="rgcn", decoder_name="dismult", **bench.MODEL,
+        num_relation=tg.num_edge_types, num_heads=2,
+        scheduler_type="cosine", learning_rate=1e-3, warm_up_ratio=0.2,
+        fuse_method="none", neg_ratio=bench.NEG_RATIO,
+        node_init_method="random", compute_dtype=compute_dtype)
+    module.neg_sampler = neg_sampler
+    module.configure_optimizers(num_training_steps=10_000)
+    rng = jax.random.PRNGKey(0)
+    state = module.init_state(rng)
+    step_fn = module._get_train_steps_scan()
+    stacked = jax.device_put(stack_batches(batches[:scan_k]))
+    edges = sum(int(np.sum(b.edge_mask)) for b in batches[:scan_k])
+
+    for _ in range(2):
+        rng, r = jax.random.split(rng)
+        state, loss = step_fn(state, stacked, r)
+    float(loss)
+    t0 = time.perf_counter()
+    for _ in range(groups):
+        rng, r = jax.random.split(rng)
+        state, loss = step_fn(state, stacked, r)
+    lv = float(loss)
+    dt = time.perf_counter() - t0
+    ms = dt / (groups * scan_k) * 1e3
+    tps = groups * edges * (1 + bench.NEG_RATIO) / dt
+    print(f"{neg_sampler:>7s}/{compute_dtype:<9s}: {ms:6.2f} ms/step  "
+          f"{tps/1e6:6.2f} M triplets/s   loss={lv:.4f}", flush=True)
+
+
+def main():
+    variants = sys.argv[1:] or ["iid", "sorted", "iid_bf16", "sorted_bf16"]
+    tg = bench.build_graph()
+    loader = bench.make_loader(tg.graph)
+    it = iter(loader)
+    batches = [next(it) for _ in range(8)]
+    print(f"envelope: {batches[0].node_mask.shape[0]} nodes / "
+          f"{batches[0].edge_mask.shape[0]} edges padded; "
+          f"real edges/batch ≈ {int(np.sum(batches[0].edge_mask))}",
+          flush=True)
+    for v in variants:
+        sampler = "sorted" if v.startswith("sorted") else "iid"
+        dtype = "bfloat16" if v.endswith("bf16") else "float32"
+        probe(tg, batches, sampler, dtype)
+
+
+if __name__ == "__main__":
+    main()

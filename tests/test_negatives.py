@@ -172,3 +172,47 @@ def test_filtered_negatives_gradient_path():
     state, logs = m.train_step(state, jax.device_put(batch),
                                jax.random.PRNGKey(1))
     assert np.isfinite(float(logs["train_loss"]))
+
+
+def test_sorted_sampler_uniform_marginals_and_stratification():
+    """The stratified-sorted sampler (kge_module.sample_negatives_sorted):
+
+    * per-slot source marginals are exactly uniform across steps (mixture
+      of all order statistics of an iid sample = sampling distribution);
+    * sources are sorted (the Pallas fast-scatter precondition);
+    * each edge's K negatives stratify across K node bands per step.
+    """
+    import jax
+
+    from biomedkg_tpu.training.kge_module import sample_negatives_sorted
+
+    K, E, N = 4, 250, 200
+    counts = np.zeros(N)
+    edge17_srcs = []
+    for step in range(200):
+        r = jax.random.fold_in(jax.random.PRNGKey(7), step)
+        r1, r2, r3 = jax.random.split(r, 3)
+        ns, nd, off = sample_negatives_sorted(r1, r2, r3, K, E, N)
+        ns, off = np.asarray(ns), np.asarray(off)
+        slot_edge = (np.arange(E)[None, :] + off[:, None]) % E
+        assert np.all(np.diff(ns) >= 0)          # sorted
+        assert ns.min() >= 0 and ns.max() < N
+        np.add.at(counts, ns, 1)
+        # edge 17's K sources, one per band
+        rows, cols = np.where(slot_edge == 17)
+        srcs = ns.reshape(K, E)[rows, cols]
+        edge17_srcs.append(np.sort(srcs))
+    # uniform marginals: chi-square-ish bound on per-node counts
+    total = counts.sum()
+    expected = total / N
+    assert abs(counts.mean() - expected) < 1e-9
+    z = (counts - expected) / np.sqrt(expected)
+    assert np.abs(z).max() < 5.0, "per-node source frequency not uniform"
+    # stratification: the k-th (sorted) source lies in band k
+    arr = np.stack(edge17_srcs)                   # (steps, K)
+    band = N / K
+    in_band = np.abs(arr / band - (np.arange(K) + 0.5)) <= 0.5 + 0.05
+    assert in_band.mean() > 0.95
+    # dst iid sanity
+    nd = np.asarray(nd)
+    assert nd.min() >= 0 and nd.max() < N

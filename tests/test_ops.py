@@ -169,3 +169,111 @@ def test_relation_matmul_pallas_grad(rng):
                                rtol=1e-3, atol=1e-3)
     np.testing.assert_allclose(np.asarray(gp_w), np.asarray(gs_w),
                                rtol=1e-3, atol=1e-3)
+
+
+def test_take_rows_matbwd_grad_matches_scatter(rng):
+    from biomedkg_tpu.ops import take_rows, take_rows_matbwd
+
+    R, E, D = 8, 300, 16
+    table = jnp.asarray(rng.standard_normal((R, D)).astype(np.float32))
+    idx = jnp.asarray(rng.integers(0, R, E))
+    cot = jnp.asarray(rng.standard_normal((E, D)).astype(np.float32))
+
+    def f(op):
+        return lambda t: jnp.sum(op(t, idx) * cot)
+
+    np.testing.assert_allclose(np.asarray(jax.grad(f(take_rows_matbwd))(table)),
+                               np.asarray(jax.grad(f(take_rows))(table)),
+                               rtol=1e-5, atol=1e-5)
+    # 3D tables too (RGAT attention params)
+    table3 = jnp.asarray(rng.standard_normal((R, 4, D)).astype(np.float32))
+    cot3 = jnp.asarray(rng.standard_normal((E, 4, D)).astype(np.float32))
+
+    def f3(op):
+        return lambda t: jnp.sum(op(t, idx) * cot3)
+
+    np.testing.assert_allclose(np.asarray(jax.grad(f3(take_rows_matbwd))(table3)),
+                               np.asarray(jax.grad(f3(take_rows))(table3)),
+                               rtol=1e-5, atol=1e-5)
+
+
+def _dense_segsum(vals, ids, n):
+    out = np.zeros((n, vals.shape[1]), np.float32)
+    for i, s in enumerate(ids):
+        if s >= 0:
+            out[s] += vals[i]
+    return out
+
+
+def test_sorted_segment_sum_xla_path(rng):
+    from biomedkg_tpu.ops import sorted_segment_sum
+
+    M, N, D = 500, 64, 8
+    ids = np.sort(rng.integers(0, N, M)).astype(np.int32)
+    ids[:7] = -1  # padding convention
+    ids = np.sort(ids)
+    vals = rng.standard_normal((M, D)).astype(np.float32)
+    out = sorted_segment_sum(jnp.asarray(vals), jnp.asarray(ids), N)
+    np.testing.assert_allclose(np.asarray(out), _dense_segsum(vals, ids, N),
+                               rtol=1e-5, atol=1e-4)
+
+
+@pytest.mark.parametrize("dtype", [np.float32, "bfloat16"])
+def test_sorted_segment_sum_kernel(rng, dtype):
+    """Pallas windowed one-hot kernel vs dense ref (interpret mode)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from biomedkg_tpu.ops.pallas import segsum
+
+    M, N, D = 4096, 300, 128
+    ids = np.sort(rng.integers(0, N, M)).astype(np.int32)
+    vals = rng.standard_normal((M, D)).astype(np.float32)
+    if dtype == "bfloat16":
+        vals = np.asarray(jnp.asarray(vals).astype(jnp.bfloat16)
+                          .astype(jnp.float32))
+    expected = _dense_segsum(vals, ids, N)
+    segsum._FORCE_KERNEL = True
+    try:
+        with pltpu.force_tpu_interpret_mode():
+            arg = jnp.asarray(vals)
+            if dtype == "bfloat16":
+                arg = arg.astype(jnp.bfloat16)
+            out = segsum.sorted_segment_sum(arg, jnp.asarray(ids), N)
+    finally:
+        segsum._FORCE_KERNEL = False
+    tol = 2e-2 if dtype == "bfloat16" else 1e-4
+    np.testing.assert_allclose(np.asarray(out), expected, rtol=tol, atol=tol)
+
+
+def test_sorted_segment_sum_kernel_unsorted_fallback(rng):
+    """Exactness holds for arbitrary (unsorted) ids via the cond fallback."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from biomedkg_tpu.ops.pallas import segsum
+
+    M, N, D = 2048, 700, 8
+    ids = rng.integers(0, N, M).astype(np.int32)  # NOT sorted: wide windows
+    vals = rng.standard_normal((M, D)).astype(np.float32)
+    segsum._FORCE_KERNEL = True
+    try:
+        with pltpu.force_tpu_interpret_mode():
+            out = segsum.sorted_segment_sum(jnp.asarray(vals),
+                                            jnp.asarray(ids), N)
+    finally:
+        segsum._FORCE_KERNEL = False
+    np.testing.assert_allclose(np.asarray(out), _dense_segsum(vals, ids, N),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_sorted_segment_sum_grad(rng):
+    from biomedkg_tpu.ops import sorted_segment_sum
+
+    M, N, D = 256, 32, 4
+    ids = np.sort(rng.integers(0, N, M)).astype(np.int32)
+    vals = jnp.asarray(rng.standard_normal((M, D)).astype(np.float32))
+    cot = jnp.asarray(rng.standard_normal((N, D)).astype(np.float32))
+
+    g = jax.grad(lambda v: jnp.sum(
+        sorted_segment_sum(v, jnp.asarray(ids), N) * cot))(vals)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(cot)[ids],
+                               rtol=1e-5, atol=1e-5)
