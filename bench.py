@@ -69,7 +69,8 @@ def make_loader(graph, seed=0):
 
     return SaintRandomWalkLoader(graph, batch_size=BATCH_SIZE,
                                  walk_length=WALK_LENGTH, num_steps=10**9,
-                                 block_size=BLOCK_SIZE, seed=seed)
+                                 block_size=BLOCK_SIZE, seed=seed,
+                                 edge_layout="dst")
 
 
 def bench_jax(tg, batches, warmup=2, groups=4, scan_k=16):
@@ -86,6 +87,7 @@ def bench_jax(tg, batches, warmup=2, groups=4, scan_k=16):
         scheduler_type="cosine", learning_rate=1e-3, warm_up_ratio=0.2,
         fuse_method="none", neg_ratio=NEG_RATIO,
         node_init_method="random")
+    module.edge_layout = "dst"  # Pallas sorted-segment aggregation
     module.configure_optimizers(
         num_training_steps=(warmup + groups) * scan_k)
     rng = jax.random.PRNGKey(0)

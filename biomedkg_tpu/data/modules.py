@@ -63,6 +63,9 @@ class _BaseModule:
         # gathers on device. Avoids shipping MBs of features per batch over
         # slow host→device links.
         self.device_features = False
+        # "relation" (grouped-GEMM blocks) or "dst" (sorted-segment
+        # aggregation) — must match the training module's ``edge_layout``.
+        self.edge_layout = "relation"
 
     def _post_setup(self, dataset):
         self.edge_map_index = dataset.edge_map_index
@@ -99,7 +102,8 @@ class _BaseModule:
             walk_length=self.SAINT_WALK_LENGTH, num_steps=num_steps,
             block_size=self.block_size, seed=self.seed + seed_offset,
             node_budget=nb, edge_budget=eb,
-            with_features=not self.device_features)
+            with_features=not self.device_features,
+            edge_layout=self.edge_layout)
 
     def _neighbor(self, split, shuffle, seed_offset):
         if self._neighbor_budgets is None:
@@ -120,7 +124,8 @@ class _BaseModule:
         # the whole (train-split) graph as one padded batch per step.
         # PrimeKG++ fits a single chip's HBM comfortably; larger graphs use
         # parallel/graph_shard.py.
-        loader = FullGraphLoader(split.graph, block_size=self.block_size)
+        loader = FullGraphLoader(split.graph, block_size=self.block_size,
+                                 edge_layout=self.edge_layout)
 
         class _Repeat:
             def __iter__(self):

@@ -30,6 +30,7 @@ from ..ops import (
     relation_matmul,
     scatter_add,
     segment_softmax,
+    sorted_segment_sum,
 )
 
 
@@ -66,6 +67,11 @@ class RGCN:
         #         gather traffic.
         # "auto": pick per call by the FLOP/byte comparison.
         self.conv_impl = conv_impl
+        # "dst": batches carry destination-sorted edges (sampling/batch.py
+        # layout="dst") — the aggregation scatter runs through the Pallas
+        # sorted segment-sum (ops/pallas/segsum.py) and the conv is forced
+        # node-centric (no single-relation blocks exist in this layout).
+        self.edge_layout = "relation"
 
     def init(self, rng) -> dict:
         layers = []
@@ -86,6 +92,8 @@ class RGCN:
         if impl == "auto":
             impl = ("node" if num_edges >= self.num_relations * num_nodes
                     else "edge")
+        if self.edge_layout == "dst":
+            impl = "node"
         if impl == "node":
             # R dense (N, din) @ (din, dout) MXU matmuls, then a width-dout
             # gather at flat index rel·N + src.
@@ -106,8 +114,13 @@ class RGCN:
         flat_cnt = jnp.take(cnt.reshape(-1),
                             dst * self.num_relations + edge_type,
                             mode="clip")
-        norm = edge_mask.astype(h.dtype) / jnp.maximum(flat_cnt, 1.0)
-        agg = scatter_add(h * norm[:, None], dst, num_nodes)
+        norm = edge_mask.astype(h.dtype) / jnp.maximum(flat_cnt, 1.0).astype(
+            h.dtype)
+        if self.edge_layout == "dst":
+            agg = sorted_segment_sum(h * norm[:, None], dst,
+                                     num_nodes).astype(h.dtype)
+        else:
+            agg = scatter_add(h * norm[:, None], dst, num_nodes)
         return jnp.dot(x, lp["w_root"],
                        preferred_element_type=jnp.float32).astype(x.dtype) \
             + lp["b"] + agg

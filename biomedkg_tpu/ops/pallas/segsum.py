@@ -29,55 +29,75 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 BLOCK = 2048      # rows reduced per grid step (MXU contraction dim)
-WINDOW = 256      # output rows addressable per chunk
+WINDOW = 256      # output rows addressable per window
 ALIGN = 128       # window base alignment
+MAX_WINDOWS = 4   # disjoint windows per chunk (empty ones skip compute)
+VMEM_OUT_BYTES = 8 * 1024 * 1024  # resident output-block budget
 
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _kernel(lo_ref, ids_ref, data_ref, out_ref):
-    c = pl.program_id(0)
+def _kernel(num_win, n_pad, lo_ref, ids_ref, data_ref, out_ref):
+    c = pl.program_id(1)
+    w = pl.program_id(2)
 
-    @pl.when(c == 0)
+    @pl.when((c == 0) & (w == 0))
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    lo = lo_ref[c] * ALIGN
     ids = ids_ref[c, :]                                 # (BLOCK,) lane-major
-    # one-hot built (WINDOW, BLOCK): the lane-major ids broadcast along
-    # sublanes against the window iota — no relayout; invalid ids (< 0,
-    # padding) and out-of-window ids never match any row.
-    rows = jax.lax.broadcasted_iota(jnp.int32, (WINDOW, BLOCK), 0) + lo
-    oh = (rows == ids[None, :]).astype(data_ref.dtype)
-    acc = jax.lax.dot_general(                          # oh @ data
-        oh, data_ref[:],
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    out_ref[pl.ds(lo, WINDOW), :] += acc
+    # logical (disjoint) window w of this chunk; the STORE window clamps
+    # to stay in-bounds near the top — ids beyond n_pad - WINDOW still
+    # land correctly because id - base < WINDOW holds for all id < n_pad.
+    logical = lo_ref[c] * ALIGN + w * WINDOW
+    base = pl.multiple_of(jnp.minimum(logical, n_pad - WINDOW), ALIGN)
+    in_win = (ids >= logical) & (ids < logical + WINDOW)
+
+    @pl.when(jnp.any(in_win))                           # skip empty windows
+    def _():
+        # one-hot (WINDOW, BLOCK): lane-major ids broadcast along sublanes
+        # against the window iota — no relayout; ids outside the logical
+        # window (incl. padding id < 0) are masked off.
+        rows = jax.lax.broadcasted_iota(jnp.int32, (WINDOW, BLOCK), 0) + base
+        oh = ((rows == ids[None, :]) & in_win[None, :]).astype(
+            data_ref.dtype)
+        acc = jax.lax.dot_general(                      # oh @ data
+            oh, data_ref[:],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        out_ref[pl.ds(base, WINDOW), :] += acc
 
 
-def _segsum_pallas(data, ids, lo_blocks, num_out_padded):
+def _segsum_pallas(data, ids, lo_blocks, num_out_padded, num_win,
+                   d_shard=None):
     num_chunks = data.shape[0] // BLOCK
     d = data.shape[1]
+    d_shard = d_shard or d
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(num_chunks,),
+        # w is the minor grid dim: consecutive steps share the chunk's data
+        # block, so pallas re-uses the buffer without a second DMA. The
+        # major j dim shards the FEATURE axis so the VMEM-resident output
+        # block stays within budget for large node counts.
+        grid=(d // d_shard, num_chunks, num_win),
         in_specs=[
             # full ids array resident in VMEM (4 B/row): a (BLOCK, 1)
             # column layout would lane-pad 128× (a 262 MB relayout copy,
             # caught in the round-2 trace) and (1, BLOCK) blocks violate
             # the (8, 128) tiling rule.
             pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec((BLOCK, d), lambda c, lo: (c, 0),
+            pl.BlockSpec((BLOCK, d_shard), lambda j, c, w, lo: (c, j),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((num_out_padded, d), lambda c, lo: (0, 0),
+        out_specs=pl.BlockSpec((num_out_padded, d_shard),
+                               lambda j, c, w, lo: (0, j),
                                memory_space=pltpu.VMEM),
     )
+    kernel = functools.partial(_kernel, num_win, num_out_padded)
     return pl.pallas_call(
-        _kernel,
+        kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((num_out_padded, d), jnp.float32),
         cost_estimate=pl.CostEstimate(
@@ -135,23 +155,39 @@ def _segsum_kernel_path(data, ids, num_segments):
         ids = jnp.pad(ids, (0, m_pad - m), constant_values=-1)
 
     # per-chunk window base, in ALIGN units: the chunk's FIRST element
-    # (sorted ids ⇒ the chunk minimum), clamped so the window fits. A
-    # strided slice, deliberately: segment-min / small-int gathers lower
-    # to multi-ms scalar-path fusions on this backend (PERF.md trace).
+    # (sorted ids ⇒ the chunk minimum). A strided slice, deliberately:
+    # segment-min / small-int gathers lower to multi-ms scalar-path
+    # fusions on this backend (PERF.md trace). Each chunk gets NUM_WIN
+    # disjoint windows above its base; empty ones are skipped in-kernel,
+    # so irregular id densities (graph aggregation by destination) cost
+    # only occupied windows.
     valid = ids >= 0
     first = jnp.maximum(ids[::BLOCK], 0)
-    lo_blocks = jnp.clip(first // ALIGN, 0, (n_pad - WINDOW) // ALIGN)
+    lo_blocks = first // ALIGN
+    num_win = min(MAX_WINDOWS, -(-n_pad // WINDOW))
 
-    out = _segsum_pallas(data, ids, lo_blocks, n_pad)[:num_segments]
+    # the output block lives in VMEM for a whole feature-shard pass: shard
+    # the feature axis until it fits, or cede to the XLA scatter for node
+    # counts beyond what lane-width shards can cover.
+    d_shard = d
+    while n_pad * d_shard * 4 > VMEM_OUT_BYTES and d_shard % 2 == 0 \
+            and d_shard > 128:
+        d_shard //= 2
+    if n_pad * d_shard * 4 > VMEM_OUT_BYTES:
+        return _segsum_xla(data, ids, num_segments)
 
-    # exactness fallback: rows outside their chunk's window (never, for
-    # sorted dense ids; possible for adversarial/irregular inputs) are
+    out = _segsum_pallas(data, ids, lo_blocks, n_pad, num_win,
+                         d_shard)[:num_segments]
+
+    # exactness fallback: rows above their chunk's window span (rare —
+    # requires an id jump > NUM_WIN·WINDOW within one sorted chunk) are
     # reduced by a plain segment_sum — inside a cond so the common case
     # pays one scalar test only. lo broadcasts chunk→rows (NOT a gather —
     # see above).
     lo_rows = jnp.broadcast_to(
         lo_blocks[:, None] * ALIGN, (m_pad // BLOCK, BLOCK)).reshape(-1)
-    in_window = ((ids >= lo_rows) & (ids - lo_rows < WINDOW)) | ~valid
+    in_window = ((ids >= lo_rows)
+                 & (ids - lo_rows < num_win * WINDOW)) | ~valid
     num_out = jnp.sum(~in_window)
 
     def _fallback(_):
@@ -165,14 +201,17 @@ def _segsum_kernel_path(data, ids, num_segments):
 
 
 def _segsum_fwd(data, ids, num_segments):
-    return _segsum_impl(data, ids, num_segments), ids
+    # zero-size dtype token: residuals must be JAX types
+    return _segsum_impl(data, ids, num_segments), (
+        ids, jnp.zeros((0,), data.dtype))
 
 
-def _segsum_bwd(num_segments, ids, g):
+def _segsum_bwd(num_segments, res, g):
+    ids, dtype_token = res
     safe = jnp.clip(ids, 0, num_segments - 1)
     d_data = jnp.take(g, safe, axis=0, mode="clip")
     d_data = jnp.where((ids >= 0)[:, None], d_data, 0.0)
-    return d_data, None
+    return d_data.astype(dtype_token.dtype), None
 
 
 sorted_segment_sum.defvjp(_segsum_fwd, _segsum_bwd)

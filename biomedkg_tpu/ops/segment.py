@@ -116,6 +116,7 @@ def _take_rows_sorted_bwd(res, g):
 take_rows_sorted.defvjp(_take_rows_sorted_fwd, _take_rows_sorted_bwd)
 
 
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
 def scatter_add(values: jax.Array, index: jax.Array,
                 num_segments: int) -> jax.Array:

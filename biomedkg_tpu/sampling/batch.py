@@ -62,6 +62,7 @@ def pad_graph_batch(
     rng: Optional[np.random.Generator] = None,
     node_ids: Optional[np.ndarray] = None,
     num_nodes_hint: Optional[int] = None,
+    layout: str = "relation",
 ) -> GraphBatch:
     """Pack a variable-size subgraph into a fixed envelope.
 
@@ -69,8 +70,17 @@ def pad_graph_batch(
     relation-block-padded edge count exceeds the budget, a uniform random
     subset of real edges is dropped (masked estimators stay unbiased); the
     drop is logged by the calling loader.
+
+    ``layout``:
+      * "relation" — relation-sorted single-relation blocks (the Pallas
+        grouped-GEMM contract, ops/pallas/relmm.py).
+      * "dst" — edges sorted by destination node; padding edges target the
+        dummy node (the LARGEST id) so the whole edge array stays sorted.
+        Enables sorted-segment aggregation in node-centric convolutions
+        (ops/pallas/segsum.py); ``block_rel`` is all zeros (unused).
     """
     assert edge_budget % block_size == 0, "edge budget must align to blocks"
+    assert layout in ("relation", "dst"), layout
     num_nodes = x.shape[0] if x is not None else num_nodes_hint
     if num_nodes > node_budget - 1:
         raise ValueError(
@@ -104,6 +114,28 @@ def pad_graph_batch(
         edge_type = edge_type[sel]
         num_edges = edge_type.shape[0]
         counts = np.bincount(edge_type, minlength=num_relations)
+
+    idx_dt = np.int16 if node_budget < 2**15 else np.int32
+    rel_dt = np.int8 if num_relations < 2**7 else np.int32
+    if layout == "dst":
+        order = np.argsort(edge_index[1], kind="stable")
+        dummy = node_budget - 1
+        ei = np.full((2, edge_budget), dummy, dtype=idx_dt)
+        et = np.zeros(edge_budget, dtype=rel_dt)
+        emask = np.zeros(edge_budget, dtype=bool)
+        ei[0, :num_edges] = edge_index[0, order]
+        ei[1, :num_edges] = edge_index[1, order]
+        et[:num_edges] = edge_type[order]
+        emask[:num_edges] = True
+        # padding DSTs repeat the largest real dst instead of the dummy
+        # node: their contributions are masked zeros, so any valid id is
+        # correct — and not jumping to node_budget-1 keeps the sorted-
+        # segment windows narrow (ops/pallas/segsum.py)
+        if num_edges:
+            ei[1, num_edges:] = ei[1, num_edges - 1]
+        block_rel = np.zeros(edge_budget // block_size, dtype=rel_dt)
+        return _finish_batch(x, num_nodes, node_budget, node_ids, num_seed,
+                             ei, et, emask, block_rel)
 
     # Relation-sorted placement with per-segment block padding.
     order = np.argsort(edge_type, kind="stable")
@@ -146,6 +178,12 @@ def pad_graph_batch(
             ~emask[seg_offsets[r] : seg_offsets[r] + seg_padded[r]]
         ] = r
 
+    return _finish_batch(x, num_nodes, node_budget, node_ids, num_seed,
+                         ei, et, emask, block_rel)
+
+
+def _finish_batch(x, num_nodes, node_budget, node_ids, num_seed,
+                  ei, et, emask, block_rel) -> GraphBatch:
     # Node padding: zero feature rows; last row is the dummy sink.
     if x is not None:
         feat_shape = (node_budget,) + x.shape[1:]

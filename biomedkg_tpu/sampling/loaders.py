@@ -34,9 +34,11 @@ class SaintRandomWalkLoader(SaintRandomWalkSampler):
 class FullGraphLoader:
     """Single padded batch containing the entire graph."""
 
-    def __init__(self, graph: CSRGraph, block_size: int = 256):
+    def __init__(self, graph: CSRGraph, block_size: int = 256,
+                 edge_layout: str = "relation"):
         self.graph = graph
         self.block_size = block_size
+        self.edge_layout = edge_layout
         self._batch = None
 
     def batch(self) -> GraphBatch:
@@ -56,7 +58,8 @@ class FullGraphLoader:
                 node_budget=_round_up(g.num_nodes + 1, 128),
                 edge_budget=edge_budget, block_size=self.block_size,
                 num_seed=g.num_nodes,
-                node_ids=np.arange(g.num_nodes, dtype=np.int32))
+                node_ids=np.arange(g.num_nodes, dtype=np.int32),
+                layout=self.edge_layout)
         return self._batch
 
     def __iter__(self):

@@ -51,11 +51,12 @@ class SaintRandomWalkSampler:
                  num_steps: int, block_size: int = 256,
                  seed: int = 0, edge_budget: int | None = None,
                  node_budget: int | None = None,
-                 with_features: bool = True):
+                 with_features: bool = True, edge_layout: str = "relation"):
         self.graph = graph
         # False → batches carry global node_ids only; features gathered from
         # a device-resident table (sampling/batch.py GraphBatch docstring)
         self.with_features = with_features
+        self.edge_layout = edge_layout
         self.batch_size = batch_size
         self.walk_length = walk_length
         self.num_steps = num_steps
@@ -106,7 +107,8 @@ class SaintRandomWalkSampler:
             x, ei, et, num_relations=self.graph.num_relations,
             node_budget=self.node_budget, edge_budget=self.edge_budget,
             block_size=self.block_size, num_seed=len(nodes), rng=self.rng,
-            node_ids=nodes, num_nodes_hint=len(nodes))
+            node_ids=nodes, num_nodes_hint=len(nodes),
+            layout=self.edge_layout)
         self.dropped_edges += before - int(batch.edge_mask.sum())
         return batch, nodes
 

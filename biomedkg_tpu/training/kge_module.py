@@ -24,6 +24,8 @@ re-designed as pure jitted functions over a TrainState:
 
 from __future__ import annotations
 
+import math
+
 from typing import Any, Dict, Optional
 
 import jax
@@ -40,16 +42,16 @@ from .optim import make_optimizer
 from .stepping import JittedStepsMixin, TrainState  # noqa: F401 (re-export)
 
 
-def _mix_factor(e: int) -> int:
-    """Largest divisor of ``e`` that is ≤ √e (stride for the transpose
-    permutation decorrelating relation runs from the sorted source
-    sample — see _forward_loss)."""
+def _mix_factor(e: int, bound: Optional[int] = None) -> int:
+    """Largest divisor of ``e`` that is ≤ bound (default √e) — the stride
+    of the transpose permutation decorrelating relation runs from the
+    sorted source sample (see _forward_loss)."""
+    if bound is None:
+        bound = int(math.isqrt(e))
     best = 1
-    d = 1
-    while d * d <= e:
+    for d in range(1, bound + 1):
         if e % d == 0:
             best = d
-        d += 1
     return best
 
 
@@ -166,6 +168,25 @@ class KGEModule(JittedStepsMixin):
     def fix_edge_id(self, edge_id: int):
         self._fix_edge_id = edge_id
         self._jit_cache.clear()  # step functions close over the fixed id
+
+    @property
+    def edge_layout(self) -> str:
+        return getattr(self.model.encoder, "edge_layout", "relation")
+
+    @edge_layout.setter
+    def edge_layout(self, value: str):
+        """Batch edge ordering: "relation" (single-relation Pallas
+        grouped-GEMM blocks) or "dst" (destination-sorted → Pallas
+        sorted-segment aggregation). Must match the loaders'
+        ``edge_layout``."""
+        assert value in ("relation", "dst"), value
+        if value == "dst" and not hasattr(self.model.encoder,
+                                          "edge_layout"):
+            raise ValueError(
+                f"{type(self.model.encoder).__name__} requires "
+                f"relation-blocked batches (layout='relation')")
+        self.model.encoder.edge_layout = value
+        self._jit_cache.clear()
 
     @property
     def neg_sampler(self) -> str:

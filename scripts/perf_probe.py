@@ -14,7 +14,8 @@ sys.path.insert(0, ".")
 import bench  # noqa: E402
 
 
-def probe(tg, batches, neg_sampler, compute_dtype, scan_k=8, groups=4):
+def probe(tg, batches, neg_sampler, compute_dtype, scan_k=8, groups=4,
+          edge_layout="relation", label=""):
     import jax
 
     from biomedkg_tpu.parallel.dp import stack_batches
@@ -27,6 +28,7 @@ def probe(tg, batches, neg_sampler, compute_dtype, scan_k=8, groups=4):
         fuse_method="none", neg_ratio=bench.NEG_RATIO,
         node_init_method="random", compute_dtype=compute_dtype)
     module.neg_sampler = neg_sampler
+    module.edge_layout = edge_layout
     module.configure_optimizers(num_training_steps=10_000)
     rng = jax.random.PRNGKey(0)
     state = module.init_state(rng)
@@ -46,24 +48,51 @@ def probe(tg, batches, neg_sampler, compute_dtype, scan_k=8, groups=4):
     dt = time.perf_counter() - t0
     ms = dt / (groups * scan_k) * 1e3
     tps = groups * edges * (1 + bench.NEG_RATIO) / dt
-    print(f"{neg_sampler:>7s}/{compute_dtype:<9s}: {ms:6.2f} ms/step  "
-          f"{tps/1e6:6.2f} M triplets/s   loss={lv:.4f}", flush=True)
+    print(f"{label:>6s} {neg_sampler:>7s}/{compute_dtype:<9s}/"
+          f"{edge_layout:<8s}: {ms:7.2f} ms/step  {tps/1e6:7.2f} "
+          f"M triplets/s   loss={lv:.4f}", flush=True)
 
 
 def main():
     variants = sys.argv[1:] or ["iid", "sorted", "iid_bf16", "sorted_bf16"]
     tg = bench.build_graph()
-    loader = bench.make_loader(tg.graph)
-    it = iter(loader)
-    batches = [next(it) for _ in range(8)]
+    loaders = {}
+
+    def get_batches(layout, batch_size=bench.BATCH_SIZE):
+        key = (layout, batch_size)
+        if key not in loaders:
+            from biomedkg_tpu.sampling.loaders import SaintRandomWalkLoader
+
+            ld = SaintRandomWalkLoader(
+                tg.graph, batch_size=batch_size,
+                walk_length=bench.WALK_LENGTH, num_steps=10**9,
+                block_size=bench.BLOCK_SIZE, seed=0, edge_layout=layout)
+            it = iter(ld)
+            loaders[key] = [next(it) for _ in range(8)]
+            b = loaders[key][0]
+            print(f"  [b{batch_size}/{layout}] envelope "
+                  f"{b.node_mask.shape[0]} nodes / "
+                  f"{b.edge_mask.shape[0]} edges", flush=True)
+        return loaders[key]
+
+    batches = get_batches("relation")
     print(f"envelope: {batches[0].node_mask.shape[0]} nodes / "
           f"{batches[0].edge_mask.shape[0]} edges padded; "
           f"real edges/batch ≈ {int(np.sum(batches[0].edge_mask))}",
           flush=True)
     for v in variants:
         sampler = "sorted" if v.startswith("sorted") else "iid"
-        dtype = "bfloat16" if v.endswith("bf16") else "float32"
-        probe(tg, batches, sampler, dtype)
+        dtype = "bfloat16" if "bf16" in v else "float32"
+        layout = "dst" if "dst" in v else "relation"
+        bs = bench.BATCH_SIZE
+        scan_k = 8
+        for part in v.split("_"):
+            if part.startswith("b") and part[1:].isdigit():
+                bs = int(part[1:])
+            if part.startswith("k") and part[1:].isdigit():
+                scan_k = int(part[1:])
+        probe(tg, get_batches(layout, bs), sampler, dtype,
+              edge_layout=layout, label=f"b{bs}", scan_k=scan_k)
 
 
 if __name__ == "__main__":

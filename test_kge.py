@@ -33,6 +33,10 @@ def main(cfg):
         data_module.device_features = True
         model.set_feature_table(data_module.graph.x)
 
+    if model.hparams["encoder_name"] == "rgcn":
+        data_module.edge_layout = "dst"   # Pallas sorted-segment aggregation
+        model.edge_layout = "dst"
+
 
     print("=" * 20)
     print(f"Neg Ratio: {model.neg_ratio}")

@@ -277,3 +277,66 @@ def test_sorted_segment_sum_grad(rng):
         sorted_segment_sum(v, jnp.asarray(ids), N) * cot))(vals)
     np.testing.assert_allclose(np.asarray(g), np.asarray(cot)[ids],
                                rtol=1e-5, atol=1e-5)
+
+
+def test_dst_layout_conv_matches_relation_layout(rng):
+    """RGCN forward/grads identical across edge layouts on one subgraph."""
+    import jax
+
+    from biomedkg_tpu.models.encoders import RGCN
+    from biomedkg_tpu.sampling.batch import pad_graph_batch
+
+    N, E, R, D = 40, 150, 4, 16
+    x = rng.standard_normal((N, D)).astype(np.float32)
+    ei = rng.integers(0, N, (2, E)).astype(np.int32)
+    et = rng.integers(0, R, E).astype(np.int32)
+
+    outs = {}
+    for layout in ("relation", "dst"):
+        b = pad_graph_batch(x, ei, et, num_relations=R, node_budget=64,
+                            edge_budget=256, block_size=64, layout=layout)
+        enc = RGCN(D, D, D, num_hidden_layers=1, num_relations=R,
+                   drop_out=False)
+        enc.edge_layout = layout
+        params = enc.init(jax.random.PRNGKey(3))
+
+        def f(p):
+            z = enc.apply(p, jnp.asarray(b.x),
+                          jnp.asarray(b.edge_index, jnp.int32),
+                          jnp.asarray(b.edge_type, jnp.int32),
+                          jnp.asarray(b.edge_mask),
+                          jnp.asarray(b.block_rel, jnp.int32))
+            return jnp.sum(z[:N] ** 2), z[:N]
+
+        (loss, z), grads = jax.value_and_grad(f, has_aux=True)(params)
+        outs[layout] = (np.asarray(z), jax.tree_util.tree_map(np.asarray,
+                                                              grads))
+    np.testing.assert_allclose(outs["dst"][0], outs["relation"][0],
+                               rtol=1e-4, atol=1e-4)
+    ga = jax.tree_util.tree_leaves(outs["relation"][1])
+    gb = jax.tree_util.tree_leaves(outs["dst"][1])
+    for a, b_ in zip(ga, gb):
+        np.testing.assert_allclose(b_, a, rtol=1e-4, atol=1e-4)
+
+
+def test_sorted_segment_sum_kernel_d_sharded(rng):
+    """Feature-axis sharding (large node counts) matches the dense ref."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from biomedkg_tpu.ops.pallas import segsum
+
+    M, N, D = 2048, 400, 256
+    ids = np.sort(rng.integers(0, N, M)).astype(np.int32)
+    vals = rng.standard_normal((M, D)).astype(np.float32)
+    segsum._FORCE_KERNEL = True
+    old = segsum.VMEM_OUT_BYTES
+    segsum.VMEM_OUT_BYTES = 512 * 128 * 4  # force d_shard = 128 (2 shards)
+    try:
+        with pltpu.force_tpu_interpret_mode():
+            out = segsum.sorted_segment_sum(jnp.asarray(vals),
+                                            jnp.asarray(ids), N)
+    finally:
+        segsum._FORCE_KERNEL = False
+        segsum.VMEM_OUT_BYTES = old
+    np.testing.assert_allclose(np.asarray(out), _dense_segsum(vals, ids, N),
+                               rtol=1e-4, atol=1e-4)

@@ -37,6 +37,13 @@ def main(cfg):
         data_module.device_features = True
         model.set_feature_table(data_module.graph.x)
 
+    # destination-sorted batches: the RGCN aggregation scatter runs on the
+    # Pallas sorted segment-sum (ops/pallas/segsum.py); RGAT needs
+    # relation-sorted blocks for its grouped-GEMM
+    if cfg.model.encoder_name == "rgcn":
+        data_module.edge_layout = "dst"
+        model.edge_layout = "dst"
+
 
     exp_name = (f"{cfg.model.encoder_name}_{cfg.model.decoder_name}"
                 f"_{cfg.data.node_init_method}")
