@@ -30,6 +30,14 @@ from .. import nn
 from ..ops.segment import take_rows, take_rows_matbwd, take_rows_sorted
 
 
+def _tail_take(z, tail, tail_sorted):
+    """Tail-row gather; destination-sorted batches (layout='dst') route
+    the backward through the Pallas sorted segment-sum (4 windows: graph
+    destination densities are irregular)."""
+    return (take_rows_sorted(z, tail, 4) if tail_sorted
+            else take_rows(z, tail))
+
+
 class _Decoder:
     def __init__(self, num_relations: int, hidden_channels: int):
         self.num_relations = num_relations
@@ -77,9 +85,9 @@ class TransE(_Decoder):
         t = self._l1_normalize(t)
         return -jnp.sum(jnp.abs(h + r - t), axis=-1)
 
-    def score(self, params, z, head, tail, rel):
+    def score(self, params, z, head, tail, rel, tail_sorted=False):
         h = self._l1_normalize(take_rows(z, head))
-        t = self._l1_normalize(take_rows(z, tail))
+        t = self._l1_normalize(_tail_take(z, tail, tail_sorted))
         r = take_rows_matbwd(params["rel_emb"], rel)
         return -jnp.sum(jnp.abs(h + r - t), axis=-1)
 
@@ -130,9 +138,9 @@ class DistMult(_Decoder):
                                 dtype=rel.dtype)[None, :])
         return jnp.sum(all_rel * onehot, axis=-1)
 
-    def score(self, params, z, head, tail, rel):
+    def score(self, params, z, head, tail, rel, tail_sorted=False):
         h = take_rows(z, head)
-        t = take_rows(z, tail)
+        t = _tail_take(z, tail, tail_sorted)
         r = take_rows_matbwd(params["rel_emb"], rel)
         return jnp.sum(h * r * t, axis=-1)
 
@@ -166,9 +174,9 @@ class ComplEx(_Decoder):
         s += (h_re * r_im + h_im * r_re) * t_im
         return jnp.sum(s, axis=-1)
 
-    def score(self, params, z, head, tail, rel):
+    def score(self, params, z, head, tail, rel, tail_sorted=False):
         h_re, h_im = self._chunk(take_rows(z, head))
-        t_re, t_im = self._chunk(take_rows(z, tail))
+        t_re, t_im = self._chunk(_tail_take(z, tail, tail_sorted))
         r_re, r_im = self._chunk(take_rows_matbwd(params["rel_emb"], rel))
         s = (h_re * r_re - h_im * r_im) * t_re
         s += (h_re * r_im + h_im * r_re) * t_im
@@ -232,9 +240,9 @@ class RotatE(_Decoder):
         c, s = jnp.cos(theta), jnp.sin(theta)
         return h_re * c - h_im * s, h_re * s + h_im * c
 
-    def score(self, params, z, head, tail, rel):
+    def score(self, params, z, head, tail, rel, tail_sorted=False):
         rot_re, rot_im = self._rotated(params, z, head, rel)
-        t_re, t_im = self._chunk(take_rows(z, tail))
+        t_re, t_im = self._chunk(_tail_take(z, tail, tail_sorted))
         dist = jnp.sqrt(jnp.maximum(
             (rot_re - t_re) ** 2 + (rot_im - t_im) ** 2, 1e-12))
         return self.gamma - jnp.sum(dist, axis=-1)

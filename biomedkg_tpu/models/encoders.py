@@ -84,7 +84,22 @@ class RGCN:
             })
         return {"layers": layers}
 
-    def _conv(self, lp, x, edge_index, edge_type, edge_mask, block_rel):
+    def _edge_norm(self, edge_index, edge_type, edge_mask, num_nodes):
+        """Per-edge 1/|N_r(dst)| mean normalization — identical for every
+        conv layer, so ``apply`` hoists it out of the layer loop (the
+        count scatter + flat take cost ~0.5 ms/layer in the round-2
+        trace). Clip-mode 1-D take: ``cnt[dst, edge_type]`` 2-D indexing
+        lowers to a slow scalar-path gather fusion on TPU."""
+        dst = edge_index[1]
+        cnt = per_dst_relation_counts(dst, edge_type, edge_mask, num_nodes,
+                                      self.num_relations)
+        flat_cnt = jnp.take(cnt.reshape(-1),
+                            dst * self.num_relations + edge_type,
+                            mode="clip")
+        return edge_mask.astype(jnp.float32) / jnp.maximum(flat_cnt, 1.0)
+
+    def _conv(self, lp, x, edge_index, edge_type, edge_mask, block_rel,
+              norm):
         src, dst = edge_index[0], edge_index[1]
         num_nodes = x.shape[0]
         num_edges = edge_type.shape[0]
@@ -107,15 +122,7 @@ class RGCN:
             msg = take_rows(x, src) \
                 * edge_mask[:, None].astype(x.dtype)
             h = relation_matmul(msg, lp["w_rel"], edge_type, block_rel)
-        cnt = per_dst_relation_counts(dst, edge_type, edge_mask, num_nodes,
-                                      self.num_relations)
-        # clip-mode 1-D take: ``cnt[dst, edge_type]`` 2-D indexing lowers
-        # to a slow scalar-path gather fusion on TPU (round-2 trace)
-        flat_cnt = jnp.take(cnt.reshape(-1),
-                            dst * self.num_relations + edge_type,
-                            mode="clip")
-        norm = edge_mask.astype(h.dtype) / jnp.maximum(flat_cnt, 1.0).astype(
-            h.dtype)
+        norm = norm.astype(h.dtype)
         if self.edge_layout == "dst":
             agg = sorted_segment_sum(h * norm[:, None], dst,
                                      num_nodes).astype(h.dtype)
@@ -132,15 +139,17 @@ class RGCN:
         block_rel = block_rel.astype(jnp.int32)
         layers = params["layers"]
         conv = jax.checkpoint(self._conv) if self.remat else self._conv
+        norm = self._edge_norm(edge_index, edge_type, edge_mask, x.shape[0])
         for i, lp in enumerate(layers[:-1]):
             x = jax.nn.relu(
-                conv(lp, x, edge_index, edge_type, edge_mask, block_rel))
+                conv(lp, x, edge_index, edge_type, edge_mask, block_rel,
+                     norm))
             if self.drop_out:
                 rng, sub = (jax.random.split(rng) if rng is not None
                             else (None, None))
                 x = nn.dropout(sub, x, 0.2, deterministic=not training)
         return conv(layers[-1], x, edge_index, edge_type, edge_mask,
-                    block_rel)
+                    block_rel, norm)
 
 
 class RGAT:

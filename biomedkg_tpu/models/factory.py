@@ -39,8 +39,9 @@ class GAE:
                                   edge_mask, block_rel, rng=rng,
                                   training=training)
 
-    def decode(self, params, z, head, tail, rel):
-        return self.decoder.score(params["decoder"], z, head, tail, rel)
+    def decode(self, params, z, head, tail, rel, **kw):
+        return self.decoder.score(params["decoder"], z, head, tail, rel,
+                                  **kw)
 
 
 class FusionFactory:

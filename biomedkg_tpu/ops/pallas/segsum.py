@@ -47,7 +47,7 @@ def _kernel(num_win, n_pad, lo_ref, ids_ref, data_ref, out_ref):
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    ids = ids_ref[c, :]                                 # (BLOCK,) lane-major
+    ids = ids_ref[c % 8, :]                             # (BLOCK,) lane-major
     # logical (disjoint) window w of this chunk; the STORE window clamps
     # to stay in-bounds near the top — ids beyond n_pad - WINDOW still
     # land correctly because id - base < WINDOW holds for all id < n_pad.
@@ -83,11 +83,14 @@ def _segsum_pallas(data, ids, lo_blocks, num_out_padded, num_win,
         # block stays within budget for large node counts.
         grid=(d // d_shard, num_chunks, num_win),
         in_specs=[
-            # full ids array resident in VMEM (4 B/row): a (BLOCK, 1)
-            # column layout would lane-pad 128× (a 262 MB relayout copy,
-            # caught in the round-2 trace) and (1, BLOCK) blocks violate
-            # the (8, 128) tiling rule.
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            # ids stream in (8, BLOCK) tiles (8 chunks per DMA, row c%8
+            # read in-kernel): keeps them lane-major with zero relayout —
+            # a (BLOCK, 1) column layout would lane-pad 128× (a 262 MB
+            # copy, caught in the round-2 trace), (1, BLOCK) blocks
+            # violate the (8, 128) tiling rule, and full-VMEM residency
+            # OOMs at millions of rows.
+            pl.BlockSpec((8, BLOCK), lambda j, c, w, lo: (c // 8, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((BLOCK, d_shard), lambda j, c, w, lo: (c, j),
                          memory_space=pltpu.VMEM),
         ],
@@ -96,7 +99,7 @@ def _segsum_pallas(data, ids, lo_blocks, num_out_padded, num_win,
                                memory_space=pltpu.VMEM),
     )
     kernel = functools.partial(_kernel, num_win, num_out_padded)
-    return pl.pallas_call(
+    call = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((num_out_padded, d), jnp.float32),
@@ -106,12 +109,18 @@ def _segsum_pallas(data, ids, lo_blocks, num_out_padded, num_win,
             + num_out_padded * d * 4,
             transcendentals=0,
         ),
-    )(lo_blocks, ids.reshape(num_chunks, BLOCK), data)
+    )
+    ids2d = ids.reshape(num_chunks, BLOCK)
+    if num_chunks % 8:
+        ids2d = jnp.pad(ids2d, ((0, 8 - num_chunks % 8), (0, 0)),
+                        constant_values=-1)
+    return call(lo_blocks, ids2d, data)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
 def sorted_segment_sum(data: jax.Array, ids: jax.Array,
-                       num_segments: int) -> jax.Array:
+                       num_segments: int,
+                       max_windows: int = MAX_WINDOWS) -> jax.Array:
     """``out[n] = Σ_{i: ids[i] == n} data[i]`` for (near-)sorted ``ids``.
 
     Args:
@@ -120,10 +129,15 @@ def sorted_segment_sum(data: jax.Array, ids: jax.Array,
         Exactness holds for any input; *performance* requires ids sorted
         ascending (modulo -1 padding) so chunk windows stay narrow.
       num_segments: static output row count.
+      max_windows: windows per chunk. Even empty windows cost a grid step
+        (~µs each), so callers with guaranteed-dense sorted ids (the
+        negative sampler: expected span ≈ N·B/M ≪ WINDOW) pass 1 and let
+        the runtime-conditional fallback cover the astronomically-rare
+        overflow; irregular densities (graph aggregation) keep 4.
 
     Returns (num_segments, d) f32.
     """
-    return _segsum_impl(data, ids, num_segments)
+    return _segsum_impl(data, ids, num_segments, max_windows)
 
 
 def _segsum_xla(data, ids, num_segments):
@@ -135,17 +149,17 @@ def _segsum_xla(data, ids, num_segments):
         num_segments=num_segments + 1)[:num_segments]
 
 
-def _segsum_impl(data, ids, num_segments):
+def _segsum_impl(data, ids, num_segments, max_windows=MAX_WINDOWS):
     if jax.default_backend() not in ("tpu", "axon") \
             and not _FORCE_KERNEL:
         return _segsum_xla(data, ids, num_segments)
-    return _segsum_kernel_path(data, ids, num_segments)
+    return _segsum_kernel_path(data, ids, num_segments, max_windows)
 
 
 _FORCE_KERNEL = False  # tests flip this under force_tpu_interpret_mode
 
 
-def _segsum_kernel_path(data, ids, num_segments):
+def _segsum_kernel_path(data, ids, num_segments, max_windows=MAX_WINDOWS):
     m, d = data.shape
     ids = ids.astype(jnp.int32)
     m_pad = _round_up(max(m, BLOCK), BLOCK)
@@ -164,7 +178,7 @@ def _segsum_kernel_path(data, ids, num_segments):
     valid = ids >= 0
     first = jnp.maximum(ids[::BLOCK], 0)
     lo_blocks = first // ALIGN
-    num_win = min(MAX_WINDOWS, -(-n_pad // WINDOW))
+    num_win = min(max_windows, -(-n_pad // WINDOW))
 
     # the output block lives in VMEM for a whole feature-shard pass: shard
     # the feature axis until it fits, or cede to the XLA scatter for node
@@ -200,13 +214,13 @@ def _segsum_kernel_path(data, ids, num_segments):
     return jax.lax.cond(num_out > 0, _fallback, lambda _: out, None)
 
 
-def _segsum_fwd(data, ids, num_segments):
+def _segsum_fwd(data, ids, num_segments, max_windows):
     # zero-size dtype token: residuals must be JAX types
-    return _segsum_impl(data, ids, num_segments), (
+    return _segsum_impl(data, ids, num_segments, max_windows), (
         ids, jnp.zeros((0,), data.dtype))
 
 
-def _segsum_bwd(num_segments, res, g):
+def _segsum_bwd(num_segments, max_windows, res, g):
     ids, dtype_token = res
     safe = jnp.clip(ids, 0, num_segments - 1)
     d_data = jnp.take(g, safe, axis=0, mode="clip")

@@ -89,28 +89,32 @@ def _take_rows_matbwd_bwd(res, g):
 take_rows_matbwd.defvjp(_take_rows_matbwd_fwd, _take_rows_matbwd_bwd)
 
 
-@jax.custom_vjp
-def take_rows_sorted(x, index) -> jax.Array:
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def take_rows_sorted(x, index, max_windows: int = 1) -> jax.Array:
     """Row gather whose backward uses the Pallas sorted-segment-sum kernel.
 
     For SORTED ``index`` (the KGE negative-source sampler emits sorted
-    uniforms, training/kge_module.py) the gather transpose touches only a
-    narrow window of output rows per chunk, so the scatter-add becomes a
-    dense MXU matmul (ops/pallas/segsum.py) instead of XLA's ~200 GB/s
-    scatter fusion. Exact for any index order; fast when sorted.
+    uniforms; destination-sorted batch edges) the gather transpose touches
+    only a narrow window of output rows per chunk, so the scatter-add
+    becomes a dense MXU matmul (ops/pallas/segsum.py) instead of XLA's
+    ~200 GB/s scatter fusion. Exact for any index order; fast when sorted.
+
+    ``max_windows``: 1 for dense sampled ids (negatives), more for
+    irregular densities (graph destinations) — see sorted_segment_sum.
     """
     return _fast_gather(jnp.asarray(x), jnp.asarray(index))
 
 
-def _take_rows_sorted_fwd(x, index):
-    return take_rows_sorted(x, index), (index, x.shape[0])
+def _take_rows_sorted_fwd(x, index, max_windows):
+    return take_rows_sorted(x, index, max_windows), (index, x.shape[0])
 
 
-def _take_rows_sorted_bwd(res, g):
+def _take_rows_sorted_bwd(max_windows, res, g):
     from .pallas.segsum import sorted_segment_sum
 
     index, n = res
-    return sorted_segment_sum(g, index, n).astype(g.dtype), None
+    return sorted_segment_sum(g, index, n,
+                              max_windows).astype(g.dtype), None
 
 
 take_rows_sorted.defvjp(_take_rows_sorted_fwd, _take_rows_sorted_bwd)

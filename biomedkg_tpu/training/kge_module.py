@@ -266,7 +266,9 @@ class KGEModule(JittedStepsMixin):
 
         src, dst = batch.edge_index[0], batch.edge_index[1]
         emask = batch.edge_mask
-        pos_pred = self.model.decode(params["model"], z, src, dst, etype)
+        pos_pred = self.model.decode(
+            params["model"], z, src, dst, etype,
+            tail_sorted=self.edge_layout == "dst")
 
         # --- on-device negative sampling (kge_module.py:86-102) ---
         # Negatives are K = neg_ratio corruption sets of shape (K, E) whose
