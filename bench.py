@@ -86,7 +86,10 @@ def bench_jax(tg, batches, warmup=2, groups=4, scan_k=16):
         num_relation=tg.num_edge_types, num_heads=2,
         scheduler_type="cosine", learning_rate=1e-3, warm_up_ratio=0.2,
         fuse_method="none", neg_ratio=NEG_RATIO,
-        node_init_method="random")
+        node_init_method="random",
+        # production training mode: bf16 MXU compute, f32 master weights
+        # and loss (the GPU reference's AMP analog)
+        compute_dtype="bfloat16")
     module.edge_layout = "dst"  # Pallas sorted-segment aggregation
     module.configure_optimizers(
         num_training_steps=(warmup + groups) * scan_k)

@@ -73,7 +73,11 @@ def _direction_ranks(score_all_fn, score_fn, dec_params, z, anchors, rels,
                            jnp.asarray(r))
         scores = score_all(dec_params, z, jnp.asarray(a), jnp.asarray(r))
 
-        # host-built filter pairs (row in chunk, candidate id)
+        # host-built filter pairs (row in chunk, candidate id), padded to
+        # a power-of-two bucket so the scatter compiles once per bucket
+        # (variable shapes recompiled every chunk — ~15 s each over the
+        # tunneled chip). Pads target (0, 0) with +inf through a
+        # scatter-MIN, which is a no-op on real scores.
         rows, cols = [], []
         for i in range(chunk):
             if not v[i]:
@@ -85,8 +89,16 @@ def _direction_ranks(score_all_fn, score_fn, dec_params, z, anchors, rels,
         if rows:
             rows_np = np.concatenate(rows)
             cols_np = np.concatenate(cols)
+            n_real = len(rows_np)
+            bucket = max(256, 1 << (n_real - 1).bit_length())
+            rows_np = np.concatenate(
+                [rows_np, np.zeros(bucket - n_real, rows_np.dtype)])
+            cols_np = np.concatenate(
+                [cols_np, np.zeros(bucket - n_real, cols_np.dtype)])
+            vals = np.full(bucket, neg_inf, np.float32)
+            vals[n_real:] = np.inf
             scores = scores.at[jnp.asarray(rows_np),
-                               jnp.asarray(cols_np)].set(neg_inf)
+                               jnp.asarray(cols_np)].min(jnp.asarray(vals))
         ranks.append(np.asarray(
             _rank_chunk(scores, true_s, jnp.asarray(v))))
     out = np.concatenate(ranks)
@@ -97,7 +109,7 @@ def filtered_ranking_metrics(decoder, dec_params, z,
                              test_triples: np.ndarray,
                              all_triples: np.ndarray,
                              ks: Sequence[int] = (1, 3, 10),
-                             chunk: int = 256,
+                             chunk: int = 1024,
                              both_sides: bool = True) -> Dict[str, float]:
     """Compute filtered MRR / Hits@K.
 
