@@ -117,7 +117,8 @@ class _BaseModule:
             split.graph, batch_size=self.batch_size, fanouts=self.FANOUTS,
             shuffle=shuffle, block_size=self.block_size,
             seed=self.seed + seed_offset, node_budget=nb, edge_budget=eb,
-            with_features=not self.device_features)
+            with_features=not self.device_features,
+            edge_layout=self.edge_layout)
 
     def _full(self, split, steps):
         # TPU-native extra mode beyond the reference: full-batch training —

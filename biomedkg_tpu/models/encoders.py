@@ -233,6 +233,11 @@ class GCNEncoder:
                  num_hidden_layers: int, drop_out: bool = True):
         self.dims = _layer_dims(in_dim, hidden_dim, out_dim, num_hidden_layers)
         self.drop_out = drop_out
+        # "dst": destination-sorted batches → Pallas sorted-segment
+        # aggregation (GCN has no relation blocks, so the sorted layout is
+        # valid for every GCL batch; augmentation edge-dropout is a mask
+        # and preserves the order)
+        self.edge_layout = "relation"
 
     def init(self, rng) -> dict:
         layers = []
@@ -244,17 +249,21 @@ class GCNEncoder:
             })
         return {"layers": layers}
 
-    @staticmethod
-    def _conv(lp, x, edge_index, edge_mask):
+    def _conv(self, lp, x, edge_index, edge_mask):
         src, dst = edge_index[0], edge_index[1]
         num_nodes = x.shape[0]
         h = jnp.dot(x, lp["w"], preferred_element_type=jnp.float32).astype(x.dtype)
         em = edge_mask.astype(h.dtype)
         deg = scatter_add(em[:, None], dst, num_nodes)[:, 0] + 1.0  # +self-loop
         dis = jax.lax.rsqrt(deg)
-        norm_e = dis[src] * dis[dst] * em
-        agg = scatter_add(take_rows(h, src) * norm_e[:, None], dst,
-                          num_nodes)
+        # clip-mode takes: [] indexing lowers to slow scalar-path gathers
+        norm_e = jnp.take(dis, src, mode="clip") \
+            * jnp.take(dis, dst, mode="clip") * em
+        msg = take_rows(h, src) * norm_e[:, None]
+        if self.edge_layout == "dst":
+            agg = sorted_segment_sum(msg, dst, num_nodes).astype(h.dtype)
+        else:
+            agg = scatter_add(msg, dst, num_nodes)
         agg = agg + h * (1.0 / deg)[:, None]  # self-loop term
         return agg + lp["b"]
 

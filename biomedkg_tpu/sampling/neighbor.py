@@ -111,9 +111,11 @@ class NeighborBatchLoader:
                  shuffle: bool = False, block_size: int = 256, seed: int = 0,
                  node_budget: int | None = None,
                  edge_budget: int | None = None,
-                 with_features: bool = True):
+                 with_features: bool = True,
+                 edge_layout: str = "relation"):
         self.graph = graph
         self.with_features = with_features
+        self.edge_layout = edge_layout
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.block_size = block_size
@@ -170,7 +172,8 @@ class NeighborBatchLoader:
             x, ei, et, num_relations=self.graph.num_relations,
             node_budget=self.node_budget, edge_budget=self.edge_budget,
             block_size=self.block_size, num_seed=len(seeds), rng=self.rng,
-            node_ids=nodes, num_nodes_hint=len(nodes))
+            node_ids=nodes, num_nodes_hint=len(nodes),
+            layout=self.edge_layout)
         self.dropped_edges += before - int(batch.edge_mask.sum())
         return batch
 

@@ -115,6 +115,18 @@ class BaseGCL(JittedStepsMixin):
         self.tx: Optional[optax.GradientTransformation] = None
         self._jit_cache: Dict[str, Any] = {}
 
+    @property
+    def edge_layout(self) -> str:
+        return self.encoder.edge_layout
+
+    @edge_layout.setter
+    def edge_layout(self, value: str):
+        """"dst" (destination-sorted batches → Pallas sorted-segment
+        aggregation) or "relation"; must match the loaders'."""
+        assert value in ("relation", "dst"), value
+        self.encoder.edge_layout = value
+        self._jit_cache.clear()
+
     def _build_model(self):  # pragma: no cover - overridden
         raise NotImplementedError
 

@@ -340,3 +340,39 @@ def test_sorted_segment_sum_kernel_d_sharded(rng):
         segsum.VMEM_OUT_BYTES = old
     np.testing.assert_allclose(np.asarray(out), _dense_segsum(vals, ids, N),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_gcn_dst_layout_matches_relation_layout(rng):
+    """GCNEncoder forward/grads identical across edge layouts."""
+    import jax
+
+    from biomedkg_tpu.models.encoders import GCNEncoder
+    from biomedkg_tpu.sampling.batch import pad_graph_batch
+
+    N, E, D = 40, 150, 16
+    x = rng.standard_normal((N, D)).astype(np.float32)
+    ei = rng.integers(0, N, (2, E)).astype(np.int32)
+    et = np.zeros(E, np.int32)
+
+    outs = {}
+    for layout in ("relation", "dst"):
+        b = pad_graph_batch(x, ei, et, num_relations=1, node_budget=64,
+                            edge_budget=256, block_size=64, layout=layout)
+        enc = GCNEncoder(D, D, D, num_hidden_layers=1, drop_out=False)
+        enc.edge_layout = layout
+        params = enc.init(jax.random.PRNGKey(3))
+
+        def f(p):
+            z = enc.apply(p, jnp.asarray(b.x),
+                          jnp.asarray(b.edge_index, jnp.int32),
+                          jnp.asarray(b.edge_mask))
+            return jnp.sum(z[:N] ** 2), z[:N]
+
+        (loss, z), grads = jax.value_and_grad(f, has_aux=True)(params)
+        outs[layout] = (np.asarray(z), jax.tree_util.tree_map(np.asarray,
+                                                              grads))
+    np.testing.assert_allclose(outs["dst"][0], outs["relation"][0],
+                               rtol=1e-4, atol=1e-4)
+    for a, b_ in zip(jax.tree_util.tree_leaves(outs["relation"][1]),
+                     jax.tree_util.tree_leaves(outs["dst"][1])):
+        np.testing.assert_allclose(b_, a, rtol=1e-4, atol=1e-4)

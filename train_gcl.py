@@ -44,6 +44,11 @@ def main(cfg):
         data_module.device_features = True
         model.set_feature_table(data_module.graph.x)
 
+    # destination-sorted batches: the GCN aggregation runs on the Pallas
+    # sorted segment-sum (no relation blocks needed in the GCL path)
+    data_module.edge_layout = "dst"
+    model.edge_layout = "dst"
+
 
     os.makedirs(ckpt_dir, exist_ok=True)
     os.makedirs(log_dir, exist_ok=True)
