@@ -128,6 +128,19 @@ class DistMult(_Decoder):
           column, so the rel_emb gradient is a clean matmul too. Exact for
           any decoder bilinear in r (DistMult, ComplEx).
         """
+        from ..ops.pallas import negscore
+
+        if (jax.default_backend() in ("tpu", "axon")
+                and z.dtype == jnp.bfloat16  # keeps f32 mode full-precision
+                and neg_src.shape[0] % negscore.BLOCK == 0
+                and negscore.fits(z.shape[0], z.shape[1],
+                                  self.num_relations)):
+            # fully-fused Pallas path: z stays VMEM-resident, h rebuilt
+            # from the sorted one-hot on the MXU — only the t-side stream
+            # touches HBM at (K·E, d) size (ops/pallas/negscore.py)
+            return negscore.distmult_neg_scores(
+                z, neg_src, neg_dst, rel, params["rel_emb"])
+
         h = take_rows_sorted(z, neg_src)
         t = take_rows(z, neg_dst)
         ht = h * t

@@ -1,0 +1,405 @@
+"""Fused DistMult negative-scoring Pallas kernels (forward + backward).
+
+The negative path scores K·E corrupted triples per step:
+
+    s_i = Σ_d z[ns_i] · rel_emb[rel_i] · z[nd_i]
+
+with ``ns`` SORTED (the stratified sampler, training/kge_module.py). The
+unfused XLA lowering materializes h = z[ns], t = z[nd] and h∘t as three
+(K·E, d) HBM arrays and reads them back — ~4 HBM round-trips of ~260 MB
+each at the bench envelope. These kernels keep the whole z table (bf16)
+VMEM-resident and rebuild h from a windowed one-hot against the sorted
+ids on the MXU, so the only (K·E, d)-sized traffic is the unavoidable
+t-side stream:
+
+  forward:  stream t chunks; h = onehotᵀ(ns−lo) @ z_win; scores via the
+            transposed projection rel_emb @ (h∘t)ᵀ + one-hot column pick
+            (exact for any decoder bilinear in r).
+  backward: recompute h the same way (cheaper than an HBM gather);
+            dz_src accumulates in VMEM through the same window trick;
+            d(rel_emb) accumulates as an (R, B) @ (B, d) matmul;
+            dt streams out for the caller's dst-side scatter.
+
+Caller contract: ns sorted ascending. Exactness is unconditional for
+sorted ids: each chunk loops over every WINDOW that contains one of its
+ids (scalar min/max occupancy tests — typically exactly one window is
+active at production densities). Sizes must satisfy the VMEM budget
+(z bf16 + accumulators) — the caller falls back to the unfused path
+otherwise (see fits()).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .segsum import ALIGN, WINDOW, _round_up
+
+BLOCK = 2048
+VMEM_BUDGET = 10 * 1024 * 1024
+
+
+def fits(num_nodes: int, d: int, num_relations: int) -> bool:
+    n_pad = _round_up(max(num_nodes, WINDOW), ALIGN)
+    z_bytes = n_pad * d * 2                     # bf16 table
+    acc_bytes = n_pad * d * 4                   # f32 dz accumulator (bwd)
+    stream = BLOCK * d * (2 + 2) * 2            # t in + dt out, 2 buffers
+    return z_bytes + acc_bytes + stream + num_relations * d * 8 \
+        < VMEM_BUDGET
+
+
+
+def _window_accumulate(n_pad, lo, ids, body):
+    """Run ``body(base, in_win)`` for every WINDOW-sized window of
+    [lo·ALIGN, n_pad) that contains at least one id (scalar min/max
+    occupancy tests; typically exactly one window is active — the sorted
+    sampler's ids are dense). Coverage is total for sorted ids, so no id
+    is ever dropped."""
+    valid = ids >= 0
+    big = jnp.int32(2 ** 30)
+    minv = jnp.min(jnp.where(valid, ids, big))
+    maxv = jnp.max(jnp.where(valid, ids, -1))
+    num_win = -(-n_pad // WINDOW)
+    for w in range(num_win):
+        logical = lo + w * WINDOW
+        base = pl.multiple_of(jnp.minimum(logical, n_pad - WINDOW), ALIGN)
+        active = (logical <= maxv) & (logical + WINDOW > minv)
+
+        @pl.when(active)
+        def _(base=base, logical=logical):
+            in_win = (ids >= logical) & (ids < logical + WINDOW)
+            body(base, in_win)
+
+
+def _gather_h(n_pad, lo_raw, ids, z_ref, h_ref, dtype):
+    """h_ref (B, d) ← windowed one-hot gather of z rows at sorted ids."""
+    h_ref[:] = jnp.zeros_like(h_ref)
+    lo = lo_raw * ALIGN
+
+    def body(base, in_win):
+        rows = jax.lax.broadcasted_iota(
+            jnp.int32, (WINDOW, BLOCK), 0) + base
+        oh = ((rows == ids[None, :]) & in_win[None, :]).astype(dtype)
+        z_win = z_ref[pl.ds(base, WINDOW), :]
+        h_ref[:] += jax.lax.dot_general(
+            oh, z_win, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(dtype)
+
+    _window_accumulate(n_pad, lo, ids, body)
+
+
+def _fwd_kernel(n_pad, lo_ref, ids_ref, rel_ref, t_ref, z_ref, re_ref,
+                out_ref, h_ref):
+    c = pl.program_id(0)
+    ids = ids_ref[c % 8, :]                          # (B,) lane-major
+    _gather_h(n_pad, lo_ref[c], ids, z_ref, h_ref, t_ref.dtype)
+    ht = h_ref[:] * t_ref[:]
+    pt = jax.lax.dot_general(                        # (R, B) projection
+        re_ref[:], ht, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    rel = rel_ref[c % 8, :]                          # (B,) lane-major
+    ohr = (jax.lax.broadcasted_iota(jnp.int32, (re_ref.shape[0], BLOCK), 0)
+           == rel[None, :])
+    out_ref[c % 8, :] = jnp.sum(jnp.where(ohr, pt, 0.0), axis=0)
+
+
+def _bwd_kernel(n_pad, lo_ref, ids_ref, rel_ref, t_ref, ds_ref, z_ref,
+                re_ref, dz_ref, dre_ref, dt_ref, h_ref):
+    c = pl.program_id(0)
+
+    @pl.when(c == 0)
+    def _():
+        dz_ref[:] = jnp.zeros_like(dz_ref)
+        dre_ref[:] = jnp.zeros_like(dre_ref)
+
+    ids = ids_ref[c % 8, :]
+    _gather_h(n_pad, lo_ref[c], ids, z_ref, h_ref, t_ref.dtype)
+    h = h_ref[:]
+
+    rel = rel_ref[c % 8, :]
+    num_rel = re_ref.shape[0]
+    ohr = (jax.lax.broadcasted_iota(jnp.int32, (num_rel, BLOCK), 0)
+           == rel[None, :]).astype(t_ref.dtype)
+    r_rows = jax.lax.dot_general(                    # (B, d) slot rel rows
+        ohr, re_ref[:], dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(t_ref.dtype)
+
+    ds_col = ds_ref[c % 8, :].reshape(BLOCK, 1).astype(t_ref.dtype)
+    t = t_ref[:]
+    dht = ds_col * r_rows                            # (B, d)
+    dh = dht * t
+    dt_ref[:] = (dht * h).astype(dt_ref.dtype)
+    # d rel_emb += ohr @ (ds ∘ h ∘ t)
+    dre_ref[:] += jax.lax.dot_general(
+        ohr, ds_col * h * t,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    def body(base, in_win):                          # dz_src windows
+        rows = jax.lax.broadcasted_iota(
+            jnp.int32, (WINDOW, BLOCK), 0) + base
+        oh = ((rows == ids[None, :]) & in_win[None, :]).astype(t.dtype)
+        dz_ref[pl.ds(base, WINDOW), :] += jax.lax.dot_general(
+            oh, dh, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    _window_accumulate(n_pad, lo_ref[c] * ALIGN, ids, body)
+
+
+DENSE_DST_SUB = 512      # dst one-hot sub-block rows
+DENSE_DST_MAX = 2048     # use the dense dst path when n_pad ≤ this
+
+
+def _bwd_kernel_dense(n_pad, lo_ref, ids_ref, rel_ref, nd_ref, t_ref,
+                      ds_ref, z_ref, re_ref, dz_ref, dre_ref, h_ref):
+    """Backward with the dst-side scatter fused in: dz accumulates BOTH
+    the windowed src contribution and a dense one-hot dst contribution
+    (sub-blocked over output rows to bound VMEM). O(M·N·d) MXU FLOPs —
+    only viable for small node envelopes, where it beats XLA's ~60 GB/s
+    scatter by ~2×."""
+    c = pl.program_id(0)
+
+    @pl.when(c == 0)
+    def _():
+        dz_ref[:] = jnp.zeros_like(dz_ref)
+        dre_ref[:] = jnp.zeros_like(dre_ref)
+
+    ids = ids_ref[c % 8, :]
+    _gather_h(n_pad, lo_ref[c], ids, z_ref, h_ref, t_ref.dtype)
+    h = h_ref[:]
+
+    rel = rel_ref[c % 8, :]
+    num_rel = re_ref.shape[0]
+    ohr = (jax.lax.broadcasted_iota(jnp.int32, (num_rel, BLOCK), 0)
+           == rel[None, :]).astype(t_ref.dtype)
+    r_rows = jax.lax.dot_general(
+        ohr, re_ref[:], dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(t_ref.dtype)
+
+    ds_col = ds_ref[c % 8, :].reshape(BLOCK, 1).astype(t_ref.dtype)
+    t = t_ref[:]
+    dht = ds_col * r_rows
+    dh = dht * t
+    dt = dht * h
+    dre_ref[:] += jax.lax.dot_general(
+        ohr, ds_col * h * t,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    def body(base, in_win):                          # dz_src windows
+        rows = jax.lax.broadcasted_iota(
+            jnp.int32, (WINDOW, BLOCK), 0) + base
+        oh = ((rows == ids[None, :]) & in_win[None, :]).astype(t.dtype)
+        dz_ref[pl.ds(base, WINDOW), :] += jax.lax.dot_general(
+            oh, dh, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    _window_accumulate(n_pad, lo_ref[c] * ALIGN, ids, body)
+
+    nd = nd_ref[c % 8, :]
+    for sub in range(n_pad // DENSE_DST_SUB):
+        base = sub * DENSE_DST_SUB
+        rows_d = jax.lax.broadcasted_iota(
+            jnp.int32, (DENSE_DST_SUB, BLOCK), 0) + base
+        oh_d = (rows_d == nd[None, :]).astype(t_ref.dtype)
+        dz_ref[pl.ds(base, DENSE_DST_SUB), :] += jax.lax.dot_general(
+            oh_d, dt, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+
+def _prep(z, ns, rel_ids):
+    m = ns.shape[0]
+    assert m % BLOCK == 0, (
+        f"fused neg path needs K·E ({m}) % {BLOCK} == 0 — loaders align "
+        f"edge budgets to lcm(block, 2048)")
+    num_chunks = m // BLOCK
+    chunks8 = _round_up(num_chunks, 8)
+    n_pad = _round_up(max(z.shape[0], WINDOW), ALIGN)
+    zb = z.astype(jnp.bfloat16)
+    if n_pad != z.shape[0]:
+        zb = jnp.pad(zb, ((0, n_pad - z.shape[0]), (0, 0)))
+    first = jnp.maximum(ns[::BLOCK], 0)
+    lo_blocks = first // ALIGN
+
+    def tiles(v, fill):
+        t2 = v.reshape(num_chunks, BLOCK)
+        if chunks8 != num_chunks:
+            t2 = jnp.pad(t2, ((0, chunks8 - num_chunks), (0, 0)),
+                         constant_values=fill)
+        return t2
+
+    return num_chunks, chunks8, n_pad, zb, lo_blocks, tiles
+
+
+def _fwd_call(z, ns, t_rows, rel_ids, rel_emb):
+    num_chunks, chunks8, n_pad, zb, lo_blocks, tiles = _prep(z, ns, rel_ids)
+    d = z.shape[1]
+    r = rel_emb.shape[0]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(num_chunks,),
+        in_specs=[
+            pl.BlockSpec((8, BLOCK), lambda c, lo: (c // 8, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, BLOCK), lambda c, lo: (c // 8, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BLOCK, d), lambda c, lo: (c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # z (full, bf16)
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # rel_emb
+        ],
+        out_specs=pl.BlockSpec((8, BLOCK), lambda c, lo: (c // 8, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((BLOCK, d), jnp.bfloat16)],
+    )
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel, n_pad),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((chunks8, BLOCK), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * ns.shape[0] * (WINDOW + r) * d,
+            bytes_accessed=t_rows.size * 2 + n_pad * d * 2,
+            transcendentals=0,
+        ),
+    )(lo_blocks, tiles(ns.astype(jnp.int32), -1),
+      tiles(rel_ids.astype(jnp.int32), 0), t_rows.astype(jnp.bfloat16),
+      zb, rel_emb.astype(jnp.bfloat16))
+    return out.reshape(-1)[:ns.shape[0]]
+
+
+def _bwd_call(z, ns, t_rows, rel_ids, rel_emb, ds, nd=None):
+    """Returns (dz_src, dre, dt) in streamed mode (nd None) or
+    (dz_src_and_dst, dre, None) in dense-dst mode (small envelopes)."""
+    num_chunks, chunks8, n_pad, zb, lo_blocks, tiles = _prep(z, ns, rel_ids)
+    d = z.shape[1]
+    r = rel_emb.shape[0]
+    r_pad = _round_up(max(r, 8), 8)
+    re = rel_emb.astype(jnp.bfloat16)
+    if r_pad != r:
+        re = jnp.pad(re, ((0, r_pad - r), (0, 0)))
+    if nd is not None:
+        tile_spec = pl.BlockSpec((8, BLOCK), lambda c, lo: (c // 8, 0),
+                                 memory_space=pltpu.VMEM)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(num_chunks,),
+            in_specs=[
+                tile_spec, tile_spec, tile_spec,
+                pl.BlockSpec((BLOCK, d), lambda c, lo: (c, 0),
+                             memory_space=pltpu.VMEM),
+                tile_spec,
+                pl.BlockSpec(memory_space=pltpu.VMEM),   # z
+                pl.BlockSpec(memory_space=pltpu.VMEM),   # rel_emb
+            ],
+            out_specs=[
+                pl.BlockSpec((n_pad, d), lambda c, lo: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((r_pad, d), lambda c, lo: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            scratch_shapes=[pltpu.VMEM((BLOCK, d), jnp.bfloat16)],
+        )
+        dz, dre = pl.pallas_call(
+            functools.partial(_bwd_kernel_dense, n_pad),
+            grid_spec=grid_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct((n_pad, d), jnp.float32),
+                jax.ShapeDtypeStruct((r_pad, d), jnp.float32),
+            ],
+            cost_estimate=pl.CostEstimate(
+                flops=2 * ns.shape[0] * (2 * WINDOW + n_pad + 2 * r) * d,
+                bytes_accessed=t_rows.size * 2 + n_pad * d * 6,
+                transcendentals=0,
+            ),
+        )(lo_blocks, tiles(ns.astype(jnp.int32), -1),
+          tiles(rel_ids.astype(jnp.int32), 0),
+          # nd one-hot pads target row n_pad-1 — harmless: dt rows for
+          # pads are zero because ds pads are zero
+          tiles(jnp.clip(nd, 0, n_pad - 1).astype(jnp.int32), 0),
+          t_rows.astype(jnp.bfloat16),
+          tiles(ds.astype(jnp.float32), 0), zb, re)
+        return dz[:z.shape[0]], dre[:r], None
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(num_chunks,),
+        in_specs=[
+            pl.BlockSpec((8, BLOCK), lambda c, lo: (c // 8, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, BLOCK), lambda c, lo: (c // 8, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BLOCK, d), lambda c, lo: (c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, BLOCK), lambda c, lo: (c // 8, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # z
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # rel_emb
+        ],
+        out_specs=[
+            pl.BlockSpec((n_pad, d), lambda c, lo: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((r_pad, d), lambda c, lo: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BLOCK, d), lambda c, lo: (c, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[pltpu.VMEM((BLOCK, d), jnp.bfloat16)],
+    )
+    dz, dre, dt = pl.pallas_call(
+        functools.partial(_bwd_kernel, n_pad),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((n_pad, d), jnp.float32),
+            jax.ShapeDtypeStruct((r_pad, d), jnp.float32),
+            jax.ShapeDtypeStruct((ns.shape[0], d), jnp.bfloat16),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * ns.shape[0] * (2 * WINDOW + 2 * r) * d,
+            bytes_accessed=t_rows.size * 4 + n_pad * d * 6,
+            transcendentals=0,
+        ),
+    )(lo_blocks, tiles(ns.astype(jnp.int32), -1),
+      tiles(rel_ids.astype(jnp.int32), 0), t_rows.astype(jnp.bfloat16),
+      tiles(ds.astype(jnp.float32), 0), zb, re)
+    return dz[:z.shape[0]], dre[:r], dt
+
+
+@jax.custom_vjp
+def distmult_neg_scores(z, ns, nd, rel_ids, rel_emb):
+    """Fused scores for (z[ns], rel_emb[rel_ids], z[nd]) triples.
+
+    ``ns`` sorted ascending. Returns f32 (K·E,) scores. The t-side gather
+    runs in XLA (index-pattern-agnostic, full HBM speed); everything else
+    stays in VMEM.
+    """
+    t_rows = jnp.take(z, nd, axis=0, mode="clip").astype(jnp.bfloat16)
+    return _fwd_call(z, ns, t_rows, rel_ids, rel_emb)
+
+
+def _op_fwd(z, ns, nd, rel_ids, rel_emb):
+    t_rows = jnp.take(z, nd, axis=0, mode="clip").astype(jnp.bfloat16)
+    scores = _fwd_call(z, ns, t_rows, rel_ids, rel_emb)
+    return scores, (z, ns, nd, rel_ids, rel_emb, t_rows)
+
+
+def _op_bwd(res, ds):
+    z, ns, nd, rel_ids, rel_emb, t_rows = res
+    n_pad = _round_up(max(z.shape[0], WINDOW), ALIGN)
+    if n_pad <= DENSE_DST_MAX and n_pad % DENSE_DST_SUB == 0:
+        # small envelope: the dst scatter fuses into the kernel as dense
+        # one-hot matmuls (~2× XLA's scatter at the bench envelope)
+        dz, dre, _ = _bwd_call(z, ns, t_rows, rel_ids, rel_emb, ds, nd=nd)
+    else:
+        dz_src, dre, dt = _bwd_call(z, ns, t_rows, rel_ids, rel_emb, ds)
+        # t-side gradient: plain scatter (nd unsorted by construction)
+        safe_nd = jnp.clip(nd, 0, z.shape[0] - 1)
+        dz = dz_src + jax.ops.segment_sum(dt, safe_nd,
+                                          num_segments=z.shape[0])
+    return (dz.astype(z.dtype), None, None, None,
+            dre.astype(rel_emb.dtype))
+
+
+distmult_neg_scores.defvjp(_op_fwd, _op_bwd)

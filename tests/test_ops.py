@@ -376,3 +376,62 @@ def test_gcn_dst_layout_matches_relation_layout(rng):
     for a, b_ in zip(jax.tree_util.tree_leaves(outs["relation"][1]),
                      jax.tree_util.tree_leaves(outs["dst"][1])):
         np.testing.assert_allclose(b_, a, rtol=1e-4, atol=1e-4)
+
+
+def test_fused_distmult_neg_scores_and_grads(rng):
+    """Fused Pallas neg-scoring (fwd + custom bwd) vs explicit reference
+    on identical triples (interpret mode; bf16 internals → loose tols)."""
+    import jax
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    from biomedkg_tpu.ops.pallas import negscore
+    from biomedkg_tpu.ops.segment import take_rows
+
+    N, d, R = 100, 128, 5
+    M = negscore.BLOCK * 2
+    z = jnp.asarray(rng.standard_normal((N, d)).astype(np.float32))
+    ns = jnp.asarray(np.sort(rng.integers(0, N, M)).astype(np.int32))
+    nd = jnp.asarray(rng.integers(0, N, M).astype(np.int32))
+    rel = jnp.asarray(rng.integers(0, R, M).astype(np.int32))
+    re = jnp.asarray(rng.standard_normal((R, d)).astype(np.float32))
+    cot = jnp.asarray(rng.standard_normal(M).astype(np.float32))
+
+    def f_fused(z, re):
+        return jnp.sum(negscore.distmult_neg_scores(z, ns, nd, rel, re)
+                       * cot)
+
+    def f_ref(z, re):
+        zb = z.astype(jnp.bfloat16).astype(jnp.float32)
+        reb = re.astype(jnp.bfloat16).astype(jnp.float32)
+        h = take_rows(zb, ns)
+        t = take_rows(zb, nd)
+        r = take_rows(reb, rel)
+        return jnp.sum(jnp.sum(h * r * t, -1) * cot)
+
+    with pltpu.force_tpu_interpret_mode():
+        v1, (gz1, gr1) = jax.value_and_grad(f_fused, (0, 1))(z, re)
+    v2, (gz2, gr2) = jax.value_and_grad(f_ref, (0, 1))(z, re)
+    # fused internals round intermediates (incl. cotangents) to bf16; the
+    # f32 reference differs by accumulated-rounding only — compare at the
+    # matrix scale (~1-2% of max), not elementwise rtol
+    assert abs(float(v1) - float(v2)) / (abs(float(v2)) + 1e-6) < 2e-2
+    for a, b in [(gz1, gz2), (gr1, gr2)]:
+        a, b = np.asarray(a), np.asarray(b)
+        rel_err = np.abs(a - b).max() / (np.abs(b).max() + 1e-6)
+        assert rel_err < 3e-2, rel_err
+
+    # exactness of the structure (not rounding): identical bf16-rounded
+    # pipeline reproduced in numpy
+    zb = np.asarray(z.astype(jnp.bfloat16), np.float32)
+    reb = np.asarray(re.astype(jnp.bfloat16), np.float32)
+    dsb = np.asarray(cot.astype(jnp.bfloat16), np.float32)
+    h = zb[np.asarray(ns)]
+    t = zb[np.asarray(nd)]
+    r = reb[np.asarray(rel)]
+    ref_dz = np.zeros((N, d), np.float32)
+    np.add.at(ref_dz, np.asarray(ns), dsb[:, None] * r * t)
+    np.add.at(ref_dz, np.asarray(nd), dsb[:, None] * r * h)
+    rel_err = (np.abs(np.asarray(gz1) - ref_dz).max()
+               / (np.abs(ref_dz).max() + 1e-6))
+    assert rel_err < 1.5e-2, rel_err
