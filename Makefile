@@ -1,7 +1,7 @@
 # biomedkg_tpu developer targets (reference Makefile installs CUDA wheels;
 # here the stack is baked in — targets cover native build, tests, bench).
 
-.PHONY: native test test-fast bench smoke clean
+.PHONY: native test test-fast bench smoke profile clean
 
 native:
 	python -c "from biomedkg_tpu.sampling import native; \
@@ -25,3 +25,6 @@ smoke:
 clean:
 	rm -rf ckpt log data/embed data/gcl_embed data/kge_embed \
 	       biomedkg_tpu/sampling/native/*.so
+
+profile:
+	python scripts/profile_step.py
