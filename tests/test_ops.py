@@ -435,3 +435,50 @@ def test_fused_distmult_neg_scores_and_grads(rng):
     rel_err = (np.abs(np.asarray(gz1) - ref_dz).max()
                / (np.abs(ref_dz).max() + 1e-6))
     assert rel_err < 1.5e-2, rel_err
+
+
+def test_sorted_segment_sum_kernel_narrow_lanes(rng):
+    """d < 128 (the dst-layout degree-count path uses d = num_relations)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from biomedkg_tpu.ops.pallas import segsum
+
+    M, N, D = 2048, 200, 8
+    ids = np.sort(rng.integers(0, N, M)).astype(np.int32)
+    vals = rng.standard_normal((M, D)).astype(np.float32)
+    segsum._FORCE_KERNEL = True
+    try:
+        with pltpu.force_tpu_interpret_mode():
+            out = segsum.sorted_segment_sum(jnp.asarray(vals),
+                                            jnp.asarray(ids), N)
+    finally:
+        segsum._FORCE_KERNEL = False
+    np.testing.assert_allclose(np.asarray(out), _dense_segsum(vals, ids, N),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_fused_neg_scores_small_tail_chunk(rng):
+    """M == BLOCK exactly and ids clustered at the top of the id range
+    (exercises window clamping near n_pad)."""
+    import jax
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    from biomedkg_tpu.ops.pallas import negscore
+
+    N, d, R = 300, 128, 3
+    M = negscore.BLOCK
+    ns = np.sort(rng.integers(N - 40, N, M)).astype(np.int32)  # top cluster
+    nd = rng.integers(0, N, M).astype(np.int32)
+    rel = rng.integers(0, R, M).astype(np.int32)
+    z = jnp.asarray(rng.standard_normal((N, d)).astype(np.float32))
+    re = jnp.asarray(rng.standard_normal((R, d)).astype(np.float32))
+    with pltpu.force_tpu_interpret_mode():
+        s = negscore.distmult_neg_scores(z, jnp.asarray(ns),
+                                         jnp.asarray(nd),
+                                         jnp.asarray(rel), re)
+    zb = np.asarray(z.astype(jnp.bfloat16), np.float32)
+    reb = np.asarray(re.astype(jnp.bfloat16), np.float32)
+    expected = np.sum(zb[ns] * reb[rel] * zb[nd], -1)
+    np.testing.assert_allclose(np.asarray(s), expected, rtol=5e-2,
+                               atol=5e-2)
