@@ -187,6 +187,33 @@ class ComplEx(_Decoder):
         s += (h_re * r_im + h_im * r_re) * t_im
         return jnp.sum(s, axis=-1)
 
+    def score_neg_sorted(self, params, z, neg_src, neg_dst, rel):
+        """Sorted-source negative scoring (see DistMult's docstring):
+        ComplEx is bilinear in r — score = Σ_j G(h,t)_j · rel_emb[rel]_j
+        with G = [h_re∘t_re + h_im∘t_im | h_re∘t_im − h_im∘t_re] — so the
+        project-then-select and fused-kernel paths apply unchanged."""
+        from ..ops.pallas import negscore
+
+        if (jax.default_backend() in ("tpu", "axon")
+                and z.dtype == jnp.bfloat16
+                and self.hidden_channels % 256 == 0  # lane-aligned halves
+                and neg_src.shape[0] % negscore.BLOCK == 0
+                and negscore.fits(z.shape[0], z.shape[1],
+                                  self.num_relations)):
+            return negscore.complex_neg_scores(
+                z, neg_src, neg_dst, rel, params["rel_emb"])
+
+        h_re, h_im = self._chunk(take_rows_sorted(z, neg_src))
+        t_re, t_im = self._chunk(take_rows(z, neg_dst))
+        g = jnp.concatenate([h_re * t_re + h_im * t_im,
+                             h_re * t_im - h_im * t_re], axis=-1)
+        all_rel = jnp.dot(g, params["rel_emb"].T.astype(z.dtype),
+                          preferred_element_type=jnp.float32)  # (K·E, R)
+        onehot = (rel[:, None]
+                  == jnp.arange(self.num_relations,
+                                dtype=rel.dtype)[None, :])
+        return jnp.sum(all_rel * onehot, axis=-1)
+
     def score(self, params, z, head, tail, rel, tail_sorted=False):
         h_re, h_im = self._chunk(take_rows(z, head))
         t_re, t_im = self._chunk(_tail_take(z, tail, tail_sorted))

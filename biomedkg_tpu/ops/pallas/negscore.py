@@ -53,6 +53,42 @@ def fits(num_nodes: int, d: int, num_relations: int) -> bool:
 
 
 
+def _combine_fwd(mode, h, t):
+    """G(h, t) such that score = Σ_j G_j · rel_emb[rel]_j — the bilinear
+    form of the decoder. "distmult": G = h∘t. "complex": half-width
+    re/im blocks, G = [h_re∘t_re + h_im∘t_im | h_re∘t_im − h_im∘t_re]
+    (the intended reference ComplEx, models/decoders.py)."""
+    if mode == "distmult":
+        return h * t
+    half = h.shape[1] // 2
+    h_re, h_im = h[:, :half], h[:, half:]
+    t_re, t_im = t[:, :half], t[:, half:]
+    return jnp.concatenate([h_re * t_re + h_im * t_im,
+                            h_re * t_im - h_im * t_re], axis=1)
+
+
+def _combine_dh(mode, r, t):
+    """∂score/∂h given the slot's relation rows and t."""
+    if mode == "distmult":
+        return r * t
+    half = r.shape[1] // 2
+    r_re, r_im = r[:, :half], r[:, half:]
+    t_re, t_im = t[:, :half], t[:, half:]
+    return jnp.concatenate([r_re * t_re + r_im * t_im,
+                            r_re * t_im - r_im * t_re], axis=1)
+
+
+def _combine_dt(mode, r, h):
+    """∂score/∂t given the slot's relation rows and h."""
+    if mode == "distmult":
+        return r * h
+    half = r.shape[1] // 2
+    r_re, r_im = r[:, :half], r[:, half:]
+    h_re, h_im = h[:, :half], h[:, half:]
+    return jnp.concatenate([r_re * h_re - r_im * h_im,
+                            r_re * h_im + r_im * h_re], axis=1)
+
+
 def _window_accumulate(n_pad, lo, ids, body):
     """Run ``body(base, in_win)`` for every WINDOW-sized window of
     [lo·ALIGN, n_pad) that contains at least one id (scalar min/max
@@ -92,12 +128,12 @@ def _gather_h(n_pad, lo_raw, ids, z_ref, h_ref, dtype):
     _window_accumulate(n_pad, lo, ids, body)
 
 
-def _fwd_kernel(n_pad, lo_ref, ids_ref, rel_ref, t_ref, z_ref, re_ref,
-                out_ref, h_ref):
+def _fwd_kernel(mode, n_pad, lo_ref, ids_ref, rel_ref, t_ref, z_ref,
+                re_ref, out_ref, h_ref):
     c = pl.program_id(0)
     ids = ids_ref[c % 8, :]                          # (B,) lane-major
     _gather_h(n_pad, lo_ref[c], ids, z_ref, h_ref, t_ref.dtype)
-    ht = h_ref[:] * t_ref[:]
+    ht = _combine_fwd(mode, h_ref[:], t_ref[:])
     pt = jax.lax.dot_general(                        # (R, B) projection
         re_ref[:], ht, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
@@ -107,7 +143,7 @@ def _fwd_kernel(n_pad, lo_ref, ids_ref, rel_ref, t_ref, z_ref, re_ref,
     out_ref[c % 8, :] = jnp.sum(jnp.where(ohr, pt, 0.0), axis=0)
 
 
-def _bwd_kernel(n_pad, lo_ref, ids_ref, rel_ref, t_ref, ds_ref, z_ref,
+def _bwd_kernel(mode, n_pad, lo_ref, ids_ref, rel_ref, t_ref, ds_ref, z_ref,
                 re_ref, dz_ref, dre_ref, dt_ref, h_ref):
     c = pl.program_id(0)
 
@@ -130,12 +166,12 @@ def _bwd_kernel(n_pad, lo_ref, ids_ref, rel_ref, t_ref, ds_ref, z_ref,
 
     ds_col = ds_ref[c % 8, :].reshape(BLOCK, 1).astype(t_ref.dtype)
     t = t_ref[:]
-    dht = ds_col * r_rows                            # (B, d)
-    dh = dht * t
-    dt_ref[:] = (dht * h).astype(dt_ref.dtype)
-    # d rel_emb += ohr @ (ds ∘ h ∘ t)
+    dh = ds_col * _combine_dh(mode, r_rows, t)       # (B, d)
+    dt_ref[:] = (ds_col * _combine_dt(mode, r_rows, h)).astype(
+        dt_ref.dtype)
+    # d rel_emb += ohr @ (ds ∘ G(h, t))
     dre_ref[:] += jax.lax.dot_general(
-        ohr, ds_col * h * t,
+        ohr, ds_col * _combine_fwd(mode, h, t),
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
 
@@ -154,7 +190,7 @@ DENSE_DST_SUB = 512      # dst one-hot sub-block rows
 DENSE_DST_MAX = 2048     # use the dense dst path when n_pad ≤ this
 
 
-def _bwd_kernel_dense(n_pad, lo_ref, ids_ref, rel_ref, nd_ref, t_ref,
+def _bwd_kernel_dense(mode, n_pad, lo_ref, ids_ref, rel_ref, nd_ref, t_ref,
                       ds_ref, z_ref, re_ref, dz_ref, dre_ref, h_ref):
     """Backward with the dst-side scatter fused in: dz accumulates BOTH
     the windowed src contribution and a dense one-hot dst contribution
@@ -182,11 +218,10 @@ def _bwd_kernel_dense(n_pad, lo_ref, ids_ref, rel_ref, nd_ref, t_ref,
 
     ds_col = ds_ref[c % 8, :].reshape(BLOCK, 1).astype(t_ref.dtype)
     t = t_ref[:]
-    dht = ds_col * r_rows
-    dh = dht * t
-    dt = dht * h
+    dh = ds_col * _combine_dh(mode, r_rows, t)
+    dt = ds_col * _combine_dt(mode, r_rows, h)
     dre_ref[:] += jax.lax.dot_general(
-        ohr, ds_col * h * t,
+        ohr, ds_col * _combine_fwd(mode, h, t),
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
 
@@ -235,7 +270,7 @@ def _prep(z, ns, rel_ids):
     return num_chunks, chunks8, n_pad, zb, lo_blocks, tiles
 
 
-def _fwd_call(z, ns, t_rows, rel_ids, rel_emb):
+def _fwd_call(mode, z, ns, t_rows, rel_ids, rel_emb):
     num_chunks, chunks8, n_pad, zb, lo_blocks, tiles = _prep(z, ns, rel_ids)
     d = z.shape[1]
     r = rel_emb.shape[0]
@@ -257,7 +292,7 @@ def _fwd_call(z, ns, t_rows, rel_ids, rel_emb):
         scratch_shapes=[pltpu.VMEM((BLOCK, d), jnp.bfloat16)],
     )
     out = pl.pallas_call(
-        functools.partial(_fwd_kernel, n_pad),
+        functools.partial(_fwd_kernel, mode, n_pad),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((chunks8, BLOCK), jnp.float32),
         cost_estimate=pl.CostEstimate(
@@ -271,7 +306,7 @@ def _fwd_call(z, ns, t_rows, rel_ids, rel_emb):
     return out.reshape(-1)[:ns.shape[0]]
 
 
-def _bwd_call(z, ns, t_rows, rel_ids, rel_emb, ds, nd=None):
+def _bwd_call(mode, z, ns, t_rows, rel_ids, rel_emb, ds, nd=None):
     """Returns (dz_src, dre, dt) in streamed mode (nd None) or
     (dz_src_and_dst, dre, None) in dense-dst mode (small envelopes)."""
     num_chunks, chunks8, n_pad, zb, lo_blocks, tiles = _prep(z, ns, rel_ids)
@@ -304,7 +339,7 @@ def _bwd_call(z, ns, t_rows, rel_ids, rel_emb, ds, nd=None):
             scratch_shapes=[pltpu.VMEM((BLOCK, d), jnp.bfloat16)],
         )
         dz, dre = pl.pallas_call(
-            functools.partial(_bwd_kernel_dense, n_pad),
+            functools.partial(_bwd_kernel_dense, mode, n_pad),
             grid_spec=grid_spec,
             out_shape=[
                 jax.ShapeDtypeStruct((n_pad, d), jnp.float32),
@@ -349,7 +384,7 @@ def _bwd_call(z, ns, t_rows, rel_ids, rel_emb, ds, nd=None):
         scratch_shapes=[pltpu.VMEM((BLOCK, d), jnp.bfloat16)],
     )
     dz, dre, dt = pl.pallas_call(
-        functools.partial(_bwd_kernel, n_pad),
+        functools.partial(_bwd_kernel, mode, n_pad),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((n_pad, d), jnp.float32),
@@ -367,39 +402,44 @@ def _bwd_call(z, ns, t_rows, rel_ids, rel_emb, ds, nd=None):
     return dz[:z.shape[0]], dre[:r], dt
 
 
-@jax.custom_vjp
-def distmult_neg_scores(z, ns, nd, rel_ids, rel_emb):
-    """Fused scores for (z[ns], rel_emb[rel_ids], z[nd]) triples.
+def _make_neg_scores(mode):
+    @jax.custom_vjp
+    def neg_scores(z, ns, nd, rel_ids, rel_emb):
+        """Fused scores for (z[ns], rel_emb[rel_ids], z[nd]) triples.
 
-    ``ns`` sorted ascending. Returns f32 (K·E,) scores. The t-side gather
-    runs in XLA (index-pattern-agnostic, full HBM speed); everything else
-    stays in VMEM.
-    """
-    t_rows = jnp.take(z, nd, axis=0, mode="clip").astype(jnp.bfloat16)
-    return _fwd_call(z, ns, t_rows, rel_ids, rel_emb)
+        ``ns`` sorted ascending. Returns f32 (K·E,) scores. The t-side
+        gather runs in XLA (index-pattern-agnostic, full HBM speed);
+        everything else stays in VMEM.
+        """
+        t_rows = jnp.take(z, nd, axis=0, mode="clip").astype(jnp.bfloat16)
+        return _fwd_call(mode, z, ns, t_rows, rel_ids, rel_emb)
+
+    def _op_fwd(z, ns, nd, rel_ids, rel_emb):
+        t_rows = jnp.take(z, nd, axis=0, mode="clip").astype(jnp.bfloat16)
+        scores = _fwd_call(mode, z, ns, t_rows, rel_ids, rel_emb)
+        return scores, (z, ns, nd, rel_ids, rel_emb, t_rows)
+
+    def _op_bwd(res, ds):
+        z, ns, nd, rel_ids, rel_emb, t_rows = res
+        n_pad = _round_up(max(z.shape[0], WINDOW), ALIGN)
+        if n_pad <= DENSE_DST_MAX and n_pad % DENSE_DST_SUB == 0:
+            # small envelope: the dst scatter fuses into the kernel as
+            # dense one-hot matmuls (~2× XLA's scatter at this envelope)
+            dz, dre, _ = _bwd_call(mode, z, ns, t_rows, rel_ids, rel_emb,
+                                   ds, nd=nd)
+        else:
+            dz_src, dre, dt = _bwd_call(mode, z, ns, t_rows, rel_ids,
+                                        rel_emb, ds)
+            # t-side gradient: plain scatter (nd unsorted by construction)
+            safe_nd = jnp.clip(nd, 0, z.shape[0] - 1)
+            dz = dz_src + jax.ops.segment_sum(dt, safe_nd,
+                                              num_segments=z.shape[0])
+        return (dz.astype(z.dtype), None, None, None,
+                dre.astype(rel_emb.dtype))
+
+    neg_scores.defvjp(_op_fwd, _op_bwd)
+    return neg_scores
 
 
-def _op_fwd(z, ns, nd, rel_ids, rel_emb):
-    t_rows = jnp.take(z, nd, axis=0, mode="clip").astype(jnp.bfloat16)
-    scores = _fwd_call(z, ns, t_rows, rel_ids, rel_emb)
-    return scores, (z, ns, nd, rel_ids, rel_emb, t_rows)
-
-
-def _op_bwd(res, ds):
-    z, ns, nd, rel_ids, rel_emb, t_rows = res
-    n_pad = _round_up(max(z.shape[0], WINDOW), ALIGN)
-    if n_pad <= DENSE_DST_MAX and n_pad % DENSE_DST_SUB == 0:
-        # small envelope: the dst scatter fuses into the kernel as dense
-        # one-hot matmuls (~2× XLA's scatter at the bench envelope)
-        dz, dre, _ = _bwd_call(z, ns, t_rows, rel_ids, rel_emb, ds, nd=nd)
-    else:
-        dz_src, dre, dt = _bwd_call(z, ns, t_rows, rel_ids, rel_emb, ds)
-        # t-side gradient: plain scatter (nd unsorted by construction)
-        safe_nd = jnp.clip(nd, 0, z.shape[0] - 1)
-        dz = dz_src + jax.ops.segment_sum(dt, safe_nd,
-                                          num_segments=z.shape[0])
-    return (dz.astype(z.dtype), None, None, None,
-            dre.astype(rel_emb.dtype))
-
-
-distmult_neg_scores.defvjp(_op_fwd, _op_bwd)
+distmult_neg_scores = _make_neg_scores("distmult")
+complex_neg_scores = _make_neg_scores("complex")

@@ -15,14 +15,14 @@ import bench  # noqa: E402
 
 
 def probe(tg, batches, neg_sampler, compute_dtype, scan_k=8, groups=4,
-          edge_layout="relation", label=""):
+          edge_layout="relation", label="", decoder="dismult"):
     import jax
 
     from biomedkg_tpu.parallel.dp import stack_batches
     from biomedkg_tpu.training.kge_module import KGEModule
 
     module = KGEModule(
-        encoder_name="rgcn", decoder_name="dismult", **bench.MODEL,
+        encoder_name="rgcn", decoder_name=decoder, **bench.MODEL,
         num_relation=tg.num_edge_types, num_heads=2,
         scheduler_type="cosine", learning_rate=1e-3, warm_up_ratio=0.2,
         fuse_method="none", neg_ratio=bench.NEG_RATIO,
@@ -48,9 +48,9 @@ def probe(tg, batches, neg_sampler, compute_dtype, scan_k=8, groups=4,
     dt = time.perf_counter() - t0
     ms = dt / (groups * scan_k) * 1e3
     tps = groups * edges * (1 + bench.NEG_RATIO) / dt
-    print(f"{label:>6s} {neg_sampler:>7s}/{compute_dtype:<9s}/"
-          f"{edge_layout:<8s}: {ms:7.2f} ms/step  {tps/1e6:7.2f} "
-          f"M triplets/s   loss={lv:.4f}", flush=True)
+    print(f"{label:>6s} {decoder:>8s} {neg_sampler:>7s}/"
+          f"{compute_dtype:<9s}/{edge_layout:<8s}: {ms:7.2f} ms/step  "
+          f"{tps/1e6:7.2f} M triplets/s   loss={lv:.4f}", flush=True)
 
 
 def main():
@@ -86,13 +86,17 @@ def main():
         layout = "dst" if "dst" in v else "relation"
         bs = bench.BATCH_SIZE
         scan_k = 8
+        decoder = "dismult"
         for part in v.split("_"):
             if part.startswith("b") and part[1:].isdigit():
                 bs = int(part[1:])
             if part.startswith("k") and part[1:].isdigit():
                 scan_k = int(part[1:])
+            if part in ("complex", "transe", "rotate"):
+                decoder = part
         probe(tg, get_batches(layout, bs), sampler, dtype,
-              edge_layout=layout, label=f"b{bs}", scan_k=scan_k)
+              edge_layout=layout, label=f"b{bs}", scan_k=scan_k,
+              decoder=decoder)
 
 
 if __name__ == "__main__":

@@ -482,3 +482,57 @@ def test_fused_neg_scores_small_tail_chunk(rng):
     expected = np.sum(zb[ns] * reb[rel] * zb[nd], -1)
     np.testing.assert_allclose(np.asarray(s), expected, rtol=5e-2,
                                atol=5e-2)
+
+
+def test_complex_sorted_and_fused_neg_scores(rng):
+    """ComplEx sorted path (unfused + fused Pallas) vs _combine reference."""
+    import jax
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    from biomedkg_tpu.models.decoders import ComplEx
+    from biomedkg_tpu.ops.pallas import negscore
+    from biomedkg_tpu.ops.segment import take_rows
+
+    N, d, R = 80, 256, 4
+    M = negscore.BLOCK
+    z = jnp.asarray(rng.standard_normal((N, d)).astype(np.float32))
+    ns = jnp.asarray(np.sort(rng.integers(0, N, M)).astype(np.int32))
+    nd = jnp.asarray(rng.integers(0, N, M).astype(np.int32))
+    rel = jnp.asarray(rng.integers(0, R, M).astype(np.int32))
+    dec = ComplEx(R, d)
+    params = dec.init(jax.random.PRNGKey(0))
+
+    ref = dec._combine(take_rows(z, ns),
+                       take_rows(params["rel_emb"], rel),
+                       take_rows(z, nd))
+
+    # unfused sorted path (CPU backend → XLA composition)
+    s_unfused = dec.score_neg_sorted(params, z, ns, nd, rel)
+    np.testing.assert_allclose(np.asarray(s_unfused), np.asarray(ref),
+                               rtol=1e-4, atol=1e-3)
+
+    # fused kernel (interpret mode, bf16 internals) + grads vs bf16 ref
+    cot = jnp.asarray(rng.standard_normal(M).astype(np.float32))
+
+    def f_fused(z, re):
+        return jnp.sum(negscore.complex_neg_scores(z, ns, nd, rel, re)
+                       * cot)
+
+    def f_ref(z, re):
+        zb = z.astype(jnp.bfloat16).astype(jnp.float32)
+        reb = re.astype(jnp.bfloat16).astype(jnp.float32)
+        return jnp.sum(dec._combine(take_rows(zb, ns),
+                                    take_rows(reb, rel),
+                                    take_rows(zb, nd)) * cot)
+
+    with pltpu.force_tpu_interpret_mode():
+        v1, (gz1, gr1) = jax.value_and_grad(f_fused, (0, 1))(
+            z, params["rel_emb"])
+    v2, (gz2, gr2) = jax.value_and_grad(f_ref, (0, 1))(
+        z, params["rel_emb"])
+    assert abs(float(v1) - float(v2)) / (abs(float(v2)) + 1e-6) < 2e-2
+    for a, b in [(gz1, gz2), (gr1, gr2)]:
+        a, b = np.asarray(a), np.asarray(b)
+        rel_err = np.abs(a - b).max() / (np.abs(b).max() + 1e-6)
+        assert rel_err < 3e-2, rel_err
