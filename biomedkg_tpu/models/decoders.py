@@ -85,6 +85,16 @@ class TransE(_Decoder):
         t = self._l1_normalize(t)
         return -jnp.sum(jnp.abs(h + r - t), axis=-1)
 
+    def score_neg_sorted(self, params, z, neg_src, neg_dst, rel):
+        """Sorted-source negatives: not bilinear in r (no fused kernel /
+        project-then-select), but the h-side gather still routes its
+        scatter transpose through the Pallas sorted segment-sum and the
+        per-slot relation rows get the one-hot-matmul backward."""
+        h = self._l1_normalize(take_rows_sorted(z, neg_src))
+        t = self._l1_normalize(take_rows(z, neg_dst))
+        r = take_rows_matbwd(params["rel_emb"], rel).astype(z.dtype)
+        return -jnp.sum(jnp.abs(h + r - t), axis=-1).astype(jnp.float32)
+
     def score(self, params, z, head, tail, rel, tail_sorted=False):
         h = self._l1_normalize(take_rows(z, head))
         t = self._l1_normalize(_tail_take(z, tail, tail_sorted))
@@ -279,6 +289,18 @@ class RotatE(_Decoder):
         theta = take_rows_matbwd(params["rel_emb"], rel)
         c, s = jnp.cos(theta), jnp.sin(theta)
         return h_re * c - h_im * s, h_re * s + h_im * c
+
+    def score_neg_sorted(self, params, z, neg_src, neg_dst, rel):
+        """Sorted-source negatives (see TransE.score_neg_sorted)."""
+        h_re, h_im = self._chunk(take_rows_sorted(z, neg_src))
+        theta = take_rows_matbwd(params["rel_emb"], rel).astype(z.dtype)
+        c, sn = jnp.cos(theta), jnp.sin(theta)
+        rot_re = h_re * c - h_im * sn
+        rot_im = h_re * sn + h_im * c
+        t_re, t_im = self._chunk(take_rows(z, neg_dst))
+        dist = jnp.sqrt(jnp.maximum(
+            (rot_re - t_re) ** 2 + (rot_im - t_im) ** 2, 1e-12))
+        return (self.gamma - jnp.sum(dist, axis=-1)).astype(jnp.float32)
 
     def score(self, params, z, head, tail, rel, tail_sorted=False):
         rot_re, rot_im = self._rotated(params, z, head, rel)

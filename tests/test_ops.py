@@ -536,3 +536,26 @@ def test_complex_sorted_and_fused_neg_scores(rng):
         a, b = np.asarray(a), np.asarray(b)
         rel_err = np.abs(a - b).max() / (np.abs(b).max() + 1e-6)
         assert rel_err < 3e-2, rel_err
+
+
+@pytest.mark.parametrize("decoder_name", ["transe", "rotate"])
+def test_distance_decoder_sorted_neg_matches_combine(rng, decoder_name):
+    import jax
+
+    from biomedkg_tpu.models.decoders import RotatE, TransE
+    from biomedkg_tpu.ops.segment import take_rows
+
+    N, d, R, M = 60, 32, 4, 256
+    cls = TransE if decoder_name == "transe" else RotatE
+    dec = cls(R, d)
+    params = dec.init(jax.random.PRNGKey(0))
+    z = jnp.asarray(rng.standard_normal((N, d)).astype(np.float32))
+    ns = jnp.asarray(np.sort(rng.integers(0, N, M)).astype(np.int32))
+    nd = jnp.asarray(rng.integers(0, N, M).astype(np.int32))
+    rel = jnp.asarray(rng.integers(0, R, M).astype(np.int32))
+    got = dec.score_neg_sorted(params, z, ns, nd, rel)
+    want = dec._combine(take_rows(z, ns),
+                        take_rows(params["rel_emb"], rel),
+                        take_rows(z, nd))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
