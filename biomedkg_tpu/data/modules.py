@@ -52,12 +52,22 @@ class _BaseModule:
     FANOUTS = [30, 30, 30]
 
     def __init__(self, batch_size: int, val_ratio: float, test_ratio: float,
-                 seed: int = 42, block_size: int = 256):
+                 seed: int = 42, block_size: int = 256,
+                 unseen_node_ratio: float = 0.0,
+                 unseen_node_types: Optional[List[str]] = None):
         self.batch_size = batch_size
         self.val_ratio = val_ratio
         self.test_ratio = test_ratio
         self.seed = seed
         self.block_size = block_size
+        # >0 → node-holdout inductive split (data/inductive.py): that
+        # fraction of nodes (optionally restricted to unseen_node_types,
+        # cleaned names e.g. ["drug"]) is held out; edges touching them
+        # become val/test supervision only and ``self.inductive`` carries
+        # the cold-start eval graph + held-out edges.
+        self.unseen_node_ratio = float(unseen_node_ratio or 0.0)
+        self.unseen_node_types = unseen_node_types
+        self.inductive = None
         # True → loaders omit features from batches (node_ids only); the
         # training module holds the full feature table in device HBM and
         # gathers on device. Avoids shipping MBs of features per batch over
@@ -74,9 +84,24 @@ class _BaseModule:
         self._saint_budgets = None
         self._neighbor_budgets = None
         if getattr(self, "_do_split", True):
-            self.train_data, self.val_data, self.test_data = \
-                random_link_split(self.graph, self.val_ratio,
-                                  self.test_ratio, seed=self.seed)
+            if self.unseen_node_ratio > 0.0:
+                from .inductive import node_pool_for_types, unseen_node_split
+
+                pool = None
+                if self.unseen_node_types:
+                    pool = node_pool_for_types(
+                        dataset.node_type_of, dataset.node_type_names,
+                        self.unseen_node_types)
+                self.inductive = unseen_node_split(
+                    self.graph, self.unseen_node_ratio, self.val_ratio,
+                    self.test_ratio, seed=self.seed, node_pool=pool)
+                self.train_data = self.inductive.train
+                self.val_data = self.inductive.val
+                self.test_data = self.inductive.test
+            else:
+                self.train_data, self.val_data, self.test_data = \
+                    random_link_split(self.graph, self.val_ratio,
+                                      self.test_ratio, seed=self.seed)
 
     # -- loaders -----------------------------------------------------------
     #
@@ -180,9 +205,13 @@ class PrimeKGModule(_BaseModule):
                  gcl_model: Optional[str] = None,
                  gcl_fuse_method: Optional[str] = None,
                  seed: int = 42, block_size: int = 256,
+                 unseen_node_ratio: float = 0.0,
+                 unseen_node_types: Optional[List[str]] = None,
                  modality_config_path: str =
                  "configs/lm_modality/primekg_modality.yaml"):
-        super().__init__(batch_size, val_ratio, test_ratio, seed, block_size)
+        super().__init__(batch_size, val_ratio, test_ratio, seed, block_size,
+                         unseen_node_ratio=unseen_node_ratio,
+                         unseen_node_types=unseen_node_types)
         self.data_dir = data_dir
         self.node_type = node_type
         self.node_init_method = node_init_method
@@ -208,9 +237,13 @@ class DPIModule(_BaseModule):
                  gcl_model: Optional[str] = None,
                  gcl_fuse_method: Optional[str] = None,
                  seed: int = 42, block_size: int = 256,
+                 unseen_node_ratio: float = 0.0,
+                 unseen_node_types: Optional[List[str]] = None,
                  modality_config_path: str =
                  "configs/lm_modality/dpi_modality.yaml"):
-        super().__init__(batch_size, val_ratio, test_ratio, seed, block_size)
+        super().__init__(batch_size, val_ratio, test_ratio, seed, block_size,
+                         unseen_node_ratio=unseen_node_ratio,
+                         unseen_node_types=unseen_node_types)
         self.data_dir = data_dir
         self.node_init_method = node_init_method
         self.encoder = get_node_encode_method(

@@ -76,6 +76,64 @@ def synthetic_dpi(num_drug: int = 300, num_gene: int = 500,
         num_edges=num_edges, relations=DPI_RELATION, seed=seed)
 
 
+def clustered_triplets(num_nodes: int = 300, num_clusters: int = 6,
+                       num_relations: int = 4, num_edges: int = 6000,
+                       seed: int = 0):
+    """Cluster-structured graph whose edges are PREDICTABLE FROM NODE
+    ATTRIBUTES — the fixture for the unseen-node/inductive protocol
+    (data/inductive.py; BASELINE.json north star).
+
+    Nodes get uniform cluster labels; relation ``r`` connects cluster ``c``
+    heads to cluster ``σ_r(c)`` tails (σ_r = fixed per-relation cyclic
+    shift), edges sampled uniformly over allowed pairs.  A node's cluster
+    is recoverable from its attribute (``cluster_token(i)`` text / the
+    one-hot rows of ``features``), so a model fed informative attributes
+    generalizes to held-out nodes, while per-node random init provably
+    cannot (the paper's core claim, arXiv:2501.01644 §4; reference
+    mechanism node.py:33-41 / embed.py:27-50).
+
+    Returns ``(df, cluster, features)``: reference-schema triplets over one
+    node type, the (N,) cluster labels, and (N, num_clusters) one-hot
+    float32 features aligned with the sorted-name node order.
+    """
+    rng = np.random.default_rng(seed)
+    cluster = rng.integers(0, num_clusters, size=num_nodes)
+    names = np.array([f"ent_{i:06d}" for i in range(num_nodes)])
+    members = [np.nonzero(cluster == c)[0] for c in range(num_clusters)]
+
+    rows = []
+    per_rel = max(1, num_edges // num_relations)
+    for r in range(num_relations):
+        shift = (r % (num_clusters - 1)) + 1   # σ_r(c) = (c + shift) % C
+        heads = rng.integers(0, num_nodes, size=per_rel)
+        tails = np.empty(per_rel, np.int64)
+        for c in range(num_clusters):
+            sel = cluster[heads] == c
+            tgt = members[(c + shift) % num_clusters]
+            if len(tgt) == 0:
+                tgt = np.arange(num_nodes)
+            tails[sel] = rng.choice(tgt, size=int(sel.sum()))
+        rows.append(pd.DataFrame({
+            "x_type": "entity", "x_name": names[heads],
+            "relation": f"rel_{r}",
+            "y_type": "entity", "y_name": names[tails],
+        }))
+    df = pd.concat(rows, ignore_index=True).drop_duplicates(
+        ["x_name", "relation", "y_name"]).reset_index(drop=True)
+    feats = np.eye(num_clusters, dtype=np.float32)[cluster]
+    return df, cluster, feats
+
+
+def cluster_token(cluster_id: int) -> str:
+    """The attribute text of a node in ``cluster_id`` (Stage-A LM path:
+    same text ⇒ same LM embedding ⇒ unseen nodes inherit their cluster's
+    representation).  Letters only — the test-time char-level WordPiece
+    vocabulary has no ``##<digit>`` continuations, so digit suffixes
+    would all collapse to [UNK]."""
+    word = chr(ord("a") + cluster_id % 26) * (3 + cluster_id // 26)
+    return f"cluster {word} marker"
+
+
 def planted_triplets(num_nodes: int = 400, num_relations: int = 4,
                      latent_dim: int = 8, edges_per_head: int = 4,
                      seed: int = 0):

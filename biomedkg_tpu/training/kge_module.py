@@ -91,7 +91,8 @@ class KGEModule(JittedStepsMixin):
                  learning_rate: float, warm_up_ratio: float,
                  fuse_method: str, neg_ratio, node_init_method: str,
                  seed: int = 42, compute_dtype: str = "float32",
-                 remat: bool = False):
+                 remat: bool = False, neg_sampler: str = "sorted",
+                 cold_start_dropout: float = 0.0):
         self.hparams = dict(
             encoder_name=encoder_name, decoder_name=decoder_name,
             in_dim=in_dim, hidden_dim=hidden_dim, out_dim=out_dim,
@@ -100,7 +101,17 @@ class KGEModule(JittedStepsMixin):
             learning_rate=learning_rate, warm_up_ratio=warm_up_ratio,
             fuse_method=fuse_method, neg_ratio=neg_ratio,
             node_init_method=node_init_method, seed=seed,
-            compute_dtype=compute_dtype, remat=remat)
+            compute_dtype=compute_dtype, remat=remat,
+            neg_sampler=neg_sampler, cold_start_dropout=cold_start_dropout)
+        # Cold-start augmentation (unseen-node protocol, data/inductive.py):
+        # per training step, each node is isolated in the ENCODER with this
+        # probability — its incident edges are masked out of aggregation
+        # while its supervision edges still score — so W_root·x must carry
+        # the signal and attribute-derived features transfer to nodes with
+        # no training edges. Without it the encoder can ignore features
+        # entirely (neighborhoods suffice transductively) and cold-start
+        # AUROC sits at chance; quantified in tests/test_inductive.py.
+        self.cold_start_dropout = float(cold_start_dropout or 0.0)
         # bf16 encoder compute (MXU-native) with f32 master weights and
         # f32 decoding/loss; "float32" = full precision.
         self.compute_dtype = (jnp.bfloat16 if compute_dtype == "bfloat16"
@@ -125,8 +136,11 @@ class KGEModule(JittedStepsMixin):
         self._filter_negatives = False
         # "sorted": stratified-sorted negative sources (training only;
         # Pallas fast path, exactly-uniform marginals — see _forward_loss).
-        # "iid": plain iid corruption (round-1 semantics).
-        self._neg_sampler = "sorted"
+        # "iid": plain iid corruption = the reference's PyG
+        # negative_sampling semantics (kge_module.py:86-102). Config
+        # surface: ``model.neg_sampler`` (configs/model/kge.yaml).
+        assert neg_sampler in ("sorted", "iid"), neg_sampler
+        self._neg_sampler = neg_sampler
         self._edge_index_map: Dict[int, str] = {}
 
         self.valid_metrics = BootstrappedBinaryMetrics(prefix="val_")
@@ -248,10 +262,21 @@ class KGEModule(JittedStepsMixin):
 
     def _forward_loss(self, params, batch, rng, training: bool):
         batch = self._widen(batch)
-        r_fuse, r_enc, r_neg, r_perm = jax.random.split(rng, 4)
+        r_fuse, r_enc, r_neg, r_perm, r_cold = jax.random.split(rng, 5)
         x = self.fusion_fn(params, self._batch_features(batch),
                            rng=r_fuse, training=training)
         etype, block_rel = self._effective_types(batch)
+
+        conv_mask = batch.edge_mask
+        if training and self.cold_start_dropout > 0.0:
+            # isolate a random node subset in the encoder only (see
+            # __init__); clip-mode 1-D takes — bool/advanced indexing
+            # lowers to scalar-path fusions on TPU (PERF.md)
+            keep = (jax.random.uniform(r_cold, (batch.node_mask.shape[0],))
+                    >= self.cold_start_dropout).astype(jnp.float32)
+            ksrc = jnp.take(keep, batch.edge_index[0], mode="clip")
+            kdst = jnp.take(keep, batch.edge_index[1], mode="clip")
+            conv_mask = conv_mask * (ksrc * kdst).astype(conv_mask.dtype)
 
         enc_params = params["model"]["encoder"]
         if self.compute_dtype == jnp.bfloat16:
@@ -260,7 +285,7 @@ class KGEModule(JittedStepsMixin):
             enc_params = tree_cast(enc_params, jnp.bfloat16)
             x = x.astype(jnp.bfloat16)
         z = self.model.encoder.apply(enc_params, x, batch.edge_index, etype,
-                                     batch.edge_mask, block_rel, rng=r_enc,
+                                     conv_mask, block_rel, rng=r_enc,
                                      training=training)
         z = z.astype(jnp.float32)
 

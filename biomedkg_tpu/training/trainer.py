@@ -327,6 +327,7 @@ class Trainer:
         elif params is None:
             params = self.state.params
         rng = jax.random.PRNGKey(getattr(model, "seed", 42) + 2)
+        self.tested_params = params  # entry points reuse (e.g. unseen-node eval)
         metrics = self._eval_loop(model, params, dataloaders, "test", rng)
         if self.enable_progress_bar:
             print("test metrics:")

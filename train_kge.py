@@ -83,6 +83,11 @@ def main(cfg):
         dataloaders=data_module.test_dataloader(loader_type="saint"),
         ckpt_path=None if cfg.debug else "best")
 
+    # cold-start eval when data.unseen_node_ratio > 0 (data/inductive.py)
+    from biomedkg_tpu.eval.inductive import run_entrypoint_inductive_eval
+
+    run_entrypoint_inductive_eval(model, trainer, data_module, cfg)
+
 
 if __name__ == "__main__":
     main()
