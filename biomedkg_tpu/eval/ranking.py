@@ -38,6 +38,12 @@ def _build_filter(all_triples: np.ndarray) -> Dict[Tuple[int, int], np.ndarray]:
     return out
 
 
+# filter-scatter pad sizes: at most four compiled scatter shapes per
+# (decoder, chunk) program; oversized filter sets split across multiple
+# 16k scatters
+_BUCKET_LADDER = (256, 1024, 4096, 16384)
+
+
 @jax.jit
 def _rank_chunk(scores, true_scores, valid):
     """Mean-tie filtered ranks from a (C, N) score matrix with the filter
@@ -74,9 +80,13 @@ def _direction_ranks(score_all_fn, score_fn, dec_params, z, anchors, rels,
         scores = score_all(dec_params, z, jnp.asarray(a), jnp.asarray(r))
 
         # host-built filter pairs (row in chunk, candidate id), padded to
-        # a power-of-two bucket so the scatter compiles once per bucket
-        # (variable shapes recompiled every chunk — ~15 s each over the
-        # tunneled chip). Pads target (0, 0) with +inf through a
+        # a FIXED bucket ladder so the scatter compiles once per ladder
+        # rung (variable shapes recompiled every chunk — ~15 s each over
+        # the tunneled chip), and CAPPED: filter sets larger than the top
+        # rung split across multiple max-bucket scatters, bounding both
+        # the number of distinct compiled shapes (≤ len(ladder)) and the
+        # single-scatter size under pathological (h, r) fan-out (advisor
+        # round-2 item). Pads target (0, 0) with +inf through a
         # scatter-MIN, which is a no-op on real scores.
         rows, cols = [], []
         for i in range(chunk):
@@ -89,16 +99,19 @@ def _direction_ranks(score_all_fn, score_fn, dec_params, z, anchors, rels,
         if rows:
             rows_np = np.concatenate(rows)
             cols_np = np.concatenate(cols)
-            n_real = len(rows_np)
-            bucket = max(256, 1 << (n_real - 1).bit_length())
-            rows_np = np.concatenate(
-                [rows_np, np.zeros(bucket - n_real, rows_np.dtype)])
-            cols_np = np.concatenate(
-                [cols_np, np.zeros(bucket - n_real, cols_np.dtype)])
-            vals = np.full(bucket, neg_inf, np.float32)
-            vals[n_real:] = np.inf
-            scores = scores.at[jnp.asarray(rows_np),
-                               jnp.asarray(cols_np)].min(jnp.asarray(vals))
+            for lo2 in range(0, len(rows_np), _BUCKET_LADDER[-1]):
+                rpart = rows_np[lo2:lo2 + _BUCKET_LADDER[-1]]
+                cpart = cols_np[lo2:lo2 + _BUCKET_LADDER[-1]]
+                n_real = len(rpart)
+                bucket = next(b for b in _BUCKET_LADDER if b >= n_real)
+                rpart = np.concatenate(
+                    [rpart, np.zeros(bucket - n_real, rpart.dtype)])
+                cpart = np.concatenate(
+                    [cpart, np.zeros(bucket - n_real, cpart.dtype)])
+                vals = np.full(bucket, neg_inf, np.float32)
+                vals[n_real:] = np.inf
+                scores = scores.at[jnp.asarray(rpart),
+                                   jnp.asarray(cpart)].min(jnp.asarray(vals))
         ranks.append(np.asarray(
             _rank_chunk(scores, true_s, jnp.asarray(v))))
     out = np.concatenate(ranks)

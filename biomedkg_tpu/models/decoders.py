@@ -86,10 +86,23 @@ class TransE(_Decoder):
         return -jnp.sum(jnp.abs(h + r - t), axis=-1)
 
     def score_neg_sorted(self, params, z, neg_src, neg_dst, rel):
-        """Sorted-source negatives: not bilinear in r (no fused kernel /
-        project-then-select), but the h-side gather still routes its
-        scatter transpose through the Pallas sorted segment-sum and the
-        per-slot relation rows get the one-hot-matmul backward."""
+        """Sorted-source negatives. Not bilinear in r, so no
+        project-then-select — but the fused Pallas kernel has a distance
+        combine mode ("transe": per-slot relation rows rebuilt in-kernel
+        via ohr @ rel_emb, in-kernel L1 row normalization,
+        ops/pallas/negscore.py). Fallback: sorted-gather path whose
+        scatter transpose routes through the Pallas sorted segment-sum."""
+        from ..ops.pallas import negscore
+
+        if (jax.default_backend() in ("tpu", "axon")
+                and z.dtype == jnp.bfloat16
+                and z.shape[1] % 128 == 0        # lane-aligned blocks
+                and neg_src.shape[0] % negscore.block_for("transe") == 0
+                and negscore.fits(z.shape[0], z.shape[1],
+                                  self.num_relations)):
+            return negscore.transe_neg_scores(
+                z, neg_src, neg_dst, rel, params["rel_emb"])
+
         h = self._l1_normalize(take_rows_sorted(z, neg_src))
         t = self._l1_normalize(take_rows(z, neg_dst))
         r = take_rows_matbwd(params["rel_emb"], rel).astype(z.dtype)
@@ -142,6 +155,7 @@ class DistMult(_Decoder):
 
         if (jax.default_backend() in ("tpu", "axon")
                 and z.dtype == jnp.bfloat16  # keeps f32 mode full-precision
+                and z.shape[1] % 128 == 0    # lane-aligned (BLOCK, d) tiles
                 and neg_src.shape[0] % negscore.BLOCK == 0
                 and negscore.fits(z.shape[0], z.shape[1],
                                   self.num_relations)):
@@ -291,7 +305,22 @@ class RotatE(_Decoder):
         return h_re * c - h_im * s, h_re * s + h_im * c
 
     def score_neg_sorted(self, params, z, neg_src, neg_dst, rel):
-        """Sorted-source negatives (see TransE.score_neg_sorted)."""
+        """Sorted-source negatives (see TransE.score_neg_sorted): the
+        fused kernel's "rotate" distance mode computes sin/cos of the
+        slot's phase rows in-kernel; γ is a gradient-free constant added
+        outside."""
+        from ..ops.pallas import negscore
+
+        if (jax.default_backend() in ("tpu", "axon")
+                and z.dtype == jnp.bfloat16
+                and self.hidden_channels % 256 == 0  # lane-aligned halves
+                and neg_src.shape[0] % negscore.block_for("rotate") == 0
+                and negscore.fits(z.shape[0], z.shape[1],
+                                  self.num_relations)):
+            raw = negscore.rotate_neg_scores(
+                z, neg_src, neg_dst, rel, params["rel_emb"])
+            return self.gamma + raw
+
         h_re, h_im = self._chunk(take_rows_sorted(z, neg_src))
         theta = take_rows_matbwd(params["rel_emb"], rel).astype(z.dtype)
         c, sn = jnp.cos(theta), jnp.sin(theta)

@@ -1,31 +1,35 @@
-"""Fused DistMult negative-scoring Pallas kernels (forward + backward).
+"""Fused negative-scoring Pallas kernels (forward + backward) for ALL
+four decoders.
 
-The negative path scores K·E corrupted triples per step:
-
-    s_i = Σ_d z[ns_i] · rel_emb[rel_i] · z[nd_i]
-
-with ``ns`` SORTED (the stratified sampler, training/kge_module.py). The
-unfused XLA lowering materializes h = z[ns], t = z[nd] and h∘t as three
-(K·E, d) HBM arrays and reads them back — ~4 HBM round-trips of ~260 MB
-each at the bench envelope. These kernels keep the whole z table (bf16)
+The negative path scores K·E corrupted triples per step with ``ns``
+SORTED (the stratified sampler, training/kge_module.py). The unfused XLA
+lowering materializes h = z[ns], t = z[nd] and the combine as (K·E, d)
+HBM arrays and reads them back — ~4 HBM round-trips of ~260 MB each at
+the bench envelope. These kernels keep the whole z table (bf16)
 VMEM-resident and rebuild h from a windowed one-hot against the sorted
 ids on the MXU, so the only (K·E, d)-sized traffic is the unavoidable
-t-side stream:
+t-side stream.
 
-  forward:  stream t chunks; h = onehotᵀ(ns−lo) @ z_win; scores via the
-            transposed projection rel_emb @ (h∘t)ᵀ + one-hot column pick
-            (exact for any decoder bilinear in r).
-  backward: recompute h the same way (cheaper than an HBM gather);
-            dz_src accumulates in VMEM through the same window trick;
-            d(rel_emb) accumulates as an (R, B) @ (B, d) matmul;
-            dt streams out for the caller's dst-side scatter.
+Two kernel families share the structure (gather-h windows, dz_src window
+accumulation, one-hot d(rel_emb) matmul, streamed/dense dt):
 
-Caller contract: ns sorted ascending. Exactness is unconditional for
-sorted ids: each chunk loops over every WINDOW that contains one of its
-ids (scalar min/max occupancy tests — typically exactly one window is
-active at production densities). Sizes must satisfy the VMEM budget
+  * BILINEAR modes ("distmult", "complex"): score = Σ_j G(h,t)_j ·
+    rel_emb[rel]_j. Forward never materializes per-slot relation rows —
+    scores for ALL R relations come from one (R, d) @ (d, B) projection
+    and the slot's relation picks its column.
+  * DISTANCE modes ("transe", "rotate"): not bilinear in r, so per-slot
+    relation rows ARE built in-kernel (ohr @ rel_emb — one extra
+    (R, B)ᵀ(B, d) matmul per chunk, the same structure the backward
+    already used) and the score is the L1 translation distance
+    (reference decoder.py:21-38, with in-kernel L1 row normalization) or
+    the rotate-and-L2 form (RotatE; sin/cos of the slot's phase rows on
+    the VPU). RotatE's γ offset stays OUTSIDE the kernel (constant —
+    gradient-free).
+
+Caller contract: ns sorted ascending. Sizes must satisfy the VMEM budget
 (z bf16 + accumulators) — the caller falls back to the unfused path
-otherwise (see fits()).
+otherwise (see fits()); feature dims must be lane-aligned (d % 128, and
+% 256 for the half-width complex modes) — enforced by the decoder gates.
 """
 
 from __future__ import annotations
@@ -40,7 +44,19 @@ from jax.experimental.pallas import tpu as pltpu
 from .segsum import ALIGN, WINDOW, _round_up
 
 BLOCK = 2048
+# distance modes build ~8 extra f32 (B, d) temporaries per chunk (the
+# normalized/rotated rows and their VJPs); at B = 2048 that overflows the
+# 16 MB scoped-VMEM stack (measured: 17.18M requested). Half-size chunks
+# keep the same total work with twice the grid steps.
+BLOCK_DISTANCE = 1024
 VMEM_BUDGET = 10 * 1024 * 1024
+
+BILINEAR_MODES = ("distmult", "complex")
+DISTANCE_MODES = ("transe", "rotate")
+
+
+def block_for(mode: str) -> int:
+    return BLOCK_DISTANCE if mode in DISTANCE_MODES else BLOCK
 
 
 def fits(num_nodes: int, d: int, num_relations: int) -> bool:
@@ -68,7 +84,7 @@ def _combine_fwd(mode, h, t):
 
 
 def _combine_dh(mode, r, t):
-    """∂score/∂h given the slot's relation rows and t."""
+    """∂score/∂h given the slot's relation rows and t (bilinear modes)."""
     if mode == "distmult":
         return r * t
     half = r.shape[1] // 2
@@ -79,7 +95,7 @@ def _combine_dh(mode, r, t):
 
 
 def _combine_dt(mode, r, h):
-    """∂score/∂t given the slot's relation rows and h."""
+    """∂score/∂t given the slot's relation rows and h (bilinear modes)."""
     if mode == "distmult":
         return r * h
     half = r.shape[1] // 2
@@ -89,43 +105,122 @@ def _combine_dt(mode, r, h):
                             r_re * h_im + r_im * h_re], axis=1)
 
 
+# -- distance-mode math (f32 on the VPU) -----------------------------------
+
+def _l1n(v):
+    return v / jnp.maximum(jnp.sum(jnp.abs(v), axis=1, keepdims=True),
+                           1e-12)
+
+
+def _split(v):
+    half = v.shape[1] // 2
+    return v[:, :half], v[:, half:]
+
+
+def _distance_score(mode, h, t, r_rows):
+    """(B,) raw scores. transe: -‖L1n(h) + r − L1n(t)‖₁ (decoder.py:21-38).
+    rotate: -Σ_j |h∘e^{iθ} − t|_j (γ added by the caller)."""
+    h = h.astype(jnp.float32)
+    t = t.astype(jnp.float32)
+    r = r_rows.astype(jnp.float32)
+    if mode == "transe":
+        return -jnp.sum(jnp.abs(_l1n(h) + r - _l1n(t)), axis=1)
+    h_re, h_im = _split(h)
+    t_re, t_im = _split(t)
+    c, s = jnp.cos(r), jnp.sin(r)
+    u_re = h_re * c - h_im * s - t_re
+    u_im = h_re * s + h_im * c - t_im
+    dist = jnp.sqrt(jnp.maximum(u_re ** 2 + u_im ** 2, 1e-12))
+    return -jnp.sum(dist, axis=1)
+
+
+def _distance_bwd(mode, h, t, r_rows, ds_col):
+    """(dh (B, d), dt (B, d), dre_slot (B, dr)) for the distance modes;
+    exact VJPs of _distance_score (all f32)."""
+    h = h.astype(jnp.float32)
+    t = t.astype(jnp.float32)
+    r = r_rows.astype(jnp.float32)
+    ds = ds_col.astype(jnp.float32)
+    if mode == "transe":
+        nh = jnp.maximum(jnp.sum(jnp.abs(h), axis=1, keepdims=True), 1e-12)
+        nt = jnp.maximum(jnp.sum(jnp.abs(t), axis=1, keepdims=True), 1e-12)
+        hn, tn = h / nh, t / nt
+        sg = jnp.sign(hn + r - tn)
+        dhn = -ds * sg
+        dtn = ds * sg
+        # L1-normalize VJP: d(v/n)ᵀg = (g − (g·v̂)·sign(v)) / n
+        dh = (dhn - jnp.sum(dhn * hn, axis=1, keepdims=True)
+              * jnp.sign(h)) / nh
+        dt = (dtn - jnp.sum(dtn * tn, axis=1, keepdims=True)
+              * jnp.sign(t)) / nt
+        return dh, dt, -ds * sg
+    h_re, h_im = _split(h)
+    t_re, t_im = _split(t)
+    c, s = jnp.cos(r), jnp.sin(r)
+    rot_re = h_re * c - h_im * s
+    rot_im = h_re * s + h_im * c
+    u_re, u_im = rot_re - t_re, rot_im - t_im
+    dist = jnp.sqrt(jnp.maximum(u_re ** 2 + u_im ** 2, 1e-12))
+    du_re = -ds * u_re / dist
+    du_im = -ds * u_im / dist
+    dh = jnp.concatenate([du_re * c + du_im * s,
+                          -du_re * s + du_im * c], axis=1)
+    dt = jnp.concatenate([-du_re, -du_im], axis=1)
+    dre_slot = -du_re * rot_im + du_im * rot_re
+    return dh, dt, dre_slot
+
+
 def _window_accumulate(n_pad, lo, ids, body):
-    """Run ``body(base, in_win)`` for every WINDOW-sized window of
-    [lo·ALIGN, n_pad) that contains at least one id (scalar min/max
-    occupancy tests; typically exactly one window is active — the sorted
-    sampler's ids are dense). Coverage is total for sorted ids, so no id
-    is ever dropped."""
+    """Run ``body(base, in_win)`` for every WINDOW-sized span that
+    contains an id. Contiguous windows from the chunk's min id to its max
+    (scalar bounds), swept by a fori_loop — kernel code size is ONE body
+    regardless of the padded node count (the round-2 static unroll grew
+    to ~n_pad/WINDOW copies, inflating compile time; advisor item).
+    Coverage is total for sorted ids, so no id is ever dropped; typically
+    exactly one window is occupied at production densities."""
+    del lo  # window placement derives from the ids themselves
     valid = ids >= 0
     big = jnp.int32(2 ** 30)
     minv = jnp.min(jnp.where(valid, ids, big))
     maxv = jnp.max(jnp.where(valid, ids, -1))
-    num_win = -(-n_pad // WINDOW)
-    for w in range(num_win):
-        logical = lo + w * WINDOW
-        base = pl.multiple_of(jnp.minimum(logical, n_pad - WINDOW), ALIGN)
-        active = (logical <= maxv) & (logical + WINDOW > minv)
+    start = (jnp.minimum(minv, jnp.int32(n_pad - 1)) // ALIGN) * ALIGN
+    nwin = jnp.where(maxv >= 0, (maxv - start) // WINDOW + 1, 0)
 
-        @pl.when(active)
-        def _(base=base, logical=logical):
-            in_win = (ids >= logical) & (ids < logical + WINDOW)
-            body(base, in_win)
+    def loop(w, carry):
+        logical = start + w * WINDOW
+        base = pl.multiple_of(jnp.minimum(logical, n_pad - WINDOW), ALIGN)
+        in_win = (ids >= logical) & (ids < logical + WINDOW)
+        body(base, in_win)
+        return carry
+
+    jax.lax.fori_loop(0, nwin, loop, 0)
 
 
 def _gather_h(n_pad, lo_raw, ids, z_ref, h_ref, dtype):
     """h_ref (B, d) ← windowed one-hot gather of z rows at sorted ids."""
     h_ref[:] = jnp.zeros_like(h_ref)
-    lo = lo_raw * ALIGN
 
     def body(base, in_win):
         rows = jax.lax.broadcasted_iota(
-            jnp.int32, (WINDOW, BLOCK), 0) + base
+            jnp.int32, (WINDOW, ids.shape[0]), 0) + base
         oh = ((rows == ids[None, :]) & in_win[None, :]).astype(dtype)
         z_win = z_ref[pl.ds(base, WINDOW), :]
         h_ref[:] += jax.lax.dot_general(
             oh, z_win, dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32).astype(dtype)
 
-    _window_accumulate(n_pad, lo, ids, body)
+    _window_accumulate(n_pad, lo_raw * ALIGN, ids, body)
+
+
+def _slot_rel(re_ref, rel, dtype):
+    """(ohr (R, B) one-hot, r_rows (B, dr)) for the chunk's relation ids."""
+    num_rel = re_ref.shape[0]
+    ohr = (jax.lax.broadcasted_iota(jnp.int32, (num_rel, rel.shape[0]), 0)
+           == rel[None, :]).astype(dtype)
+    r_rows = jax.lax.dot_general(
+        ohr, re_ref[:], dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(dtype)
+    return ohr, r_rows
 
 
 def _fwd_kernel(mode, n_pad, lo_ref, ids_ref, rel_ref, t_ref, z_ref,
@@ -133,14 +228,38 @@ def _fwd_kernel(mode, n_pad, lo_ref, ids_ref, rel_ref, t_ref, z_ref,
     c = pl.program_id(0)
     ids = ids_ref[c % 8, :]                          # (B,) lane-major
     _gather_h(n_pad, lo_ref[c], ids, z_ref, h_ref, t_ref.dtype)
-    ht = _combine_fwd(mode, h_ref[:], t_ref[:])
-    pt = jax.lax.dot_general(                        # (R, B) projection
-        re_ref[:], ht, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)
     rel = rel_ref[c % 8, :]                          # (B,) lane-major
-    ohr = (jax.lax.broadcasted_iota(jnp.int32, (re_ref.shape[0], BLOCK), 0)
-           == rel[None, :])
-    out_ref[c % 8, :] = jnp.sum(jnp.where(ohr, pt, 0.0), axis=0)
+    if mode in BILINEAR_MODES:
+        ht = _combine_fwd(mode, h_ref[:], t_ref[:])
+        pt = jax.lax.dot_general(                    # (R, B) projection
+            re_ref[:], ht, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        ohr = (jax.lax.broadcasted_iota(
+            jnp.int32, (re_ref.shape[0], rel.shape[0]), 0)
+            == rel[None, :])
+        out_ref[c % 8, :] = jnp.sum(jnp.where(ohr, pt, 0.0), axis=0)
+    else:
+        _, r_rows = _slot_rel(re_ref, rel, t_ref.dtype)
+        out_ref[c % 8, :] = _distance_score(mode, h_ref[:], t_ref[:],
+                                            r_rows)
+
+
+def _chunk_grads(mode, h, t, r_rows, ohr, ds_col):
+    """Per-chunk (dh, dt, dre_update) shared by both backward kernels.
+    dre_update is the (R, dr) one-hot-matmul accumulation term."""
+    if mode in BILINEAR_MODES:
+        dh = ds_col * _combine_dh(mode, r_rows, t)
+        dt = ds_col * _combine_dt(mode, r_rows, h)
+        dre_slot = ds_col * _combine_fwd(mode, h, t)
+    else:
+        dh, dt, dre_slot = _distance_bwd(mode, h, t, r_rows, ds_col)
+        dh = dh.astype(t.dtype)
+        dt = dt.astype(t.dtype)
+        dre_slot = dre_slot.astype(t.dtype)  # match ohr for the matmul
+    dre_up = jax.lax.dot_general(
+        ohr, dre_slot, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    return dh, dt, dre_up
 
 
 def _bwd_kernel(mode, n_pad, lo_ref, ids_ref, rel_ref, t_ref, ds_ref, z_ref,
@@ -155,29 +274,17 @@ def _bwd_kernel(mode, n_pad, lo_ref, ids_ref, rel_ref, t_ref, ds_ref, z_ref,
     ids = ids_ref[c % 8, :]
     _gather_h(n_pad, lo_ref[c], ids, z_ref, h_ref, t_ref.dtype)
     h = h_ref[:]
-
     rel = rel_ref[c % 8, :]
-    num_rel = re_ref.shape[0]
-    ohr = (jax.lax.broadcasted_iota(jnp.int32, (num_rel, BLOCK), 0)
-           == rel[None, :]).astype(t_ref.dtype)
-    r_rows = jax.lax.dot_general(                    # (B, d) slot rel rows
-        ohr, re_ref[:], dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32).astype(t_ref.dtype)
-
-    ds_col = ds_ref[c % 8, :].reshape(BLOCK, 1).astype(t_ref.dtype)
+    ohr, r_rows = _slot_rel(re_ref, rel, t_ref.dtype)
+    ds_col = ds_ref[c % 8, :].reshape(-1, 1).astype(t_ref.dtype)
     t = t_ref[:]
-    dh = ds_col * _combine_dh(mode, r_rows, t)       # (B, d)
-    dt_ref[:] = (ds_col * _combine_dt(mode, r_rows, h)).astype(
-        dt_ref.dtype)
-    # d rel_emb += ohr @ (ds ∘ G(h, t))
-    dre_ref[:] += jax.lax.dot_general(
-        ohr, ds_col * _combine_fwd(mode, h, t),
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+    dh, dt, dre_up = _chunk_grads(mode, h, t, r_rows, ohr, ds_col)
+    dt_ref[:] = dt.astype(dt_ref.dtype)
+    dre_ref[:] += dre_up
 
     def body(base, in_win):                          # dz_src windows
         rows = jax.lax.broadcasted_iota(
-            jnp.int32, (WINDOW, BLOCK), 0) + base
+            jnp.int32, (WINDOW, ids.shape[0]), 0) + base
         oh = ((rows == ids[None, :]) & in_win[None, :]).astype(t.dtype)
         dz_ref[pl.ds(base, WINDOW), :] += jax.lax.dot_general(
             oh, dh, dimension_numbers=(((1,), (0,)), ((), ())),
@@ -207,27 +314,16 @@ def _bwd_kernel_dense(mode, n_pad, lo_ref, ids_ref, rel_ref, nd_ref, t_ref,
     ids = ids_ref[c % 8, :]
     _gather_h(n_pad, lo_ref[c], ids, z_ref, h_ref, t_ref.dtype)
     h = h_ref[:]
-
     rel = rel_ref[c % 8, :]
-    num_rel = re_ref.shape[0]
-    ohr = (jax.lax.broadcasted_iota(jnp.int32, (num_rel, BLOCK), 0)
-           == rel[None, :]).astype(t_ref.dtype)
-    r_rows = jax.lax.dot_general(
-        ohr, re_ref[:], dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32).astype(t_ref.dtype)
-
-    ds_col = ds_ref[c % 8, :].reshape(BLOCK, 1).astype(t_ref.dtype)
+    ohr, r_rows = _slot_rel(re_ref, rel, t_ref.dtype)
+    ds_col = ds_ref[c % 8, :].reshape(-1, 1).astype(t_ref.dtype)
     t = t_ref[:]
-    dh = ds_col * _combine_dh(mode, r_rows, t)
-    dt = ds_col * _combine_dt(mode, r_rows, h)
-    dre_ref[:] += jax.lax.dot_general(
-        ohr, ds_col * _combine_fwd(mode, h, t),
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+    dh, dt, dre_up = _chunk_grads(mode, h, t, r_rows, ohr, ds_col)
+    dre_ref[:] += dre_up
 
     def body(base, in_win):                          # dz_src windows
         rows = jax.lax.broadcasted_iota(
-            jnp.int32, (WINDOW, BLOCK), 0) + base
+            jnp.int32, (WINDOW, ids.shape[0]), 0) + base
         oh = ((rows == ids[None, :]) & in_win[None, :]).astype(t.dtype)
         dz_ref[pl.ds(base, WINDOW), :] += jax.lax.dot_general(
             oh, dh, dimension_numbers=(((1,), (0,)), ((), ())),
@@ -239,29 +335,29 @@ def _bwd_kernel_dense(mode, n_pad, lo_ref, ids_ref, rel_ref, nd_ref, t_ref,
     for sub in range(n_pad // DENSE_DST_SUB):
         base = sub * DENSE_DST_SUB
         rows_d = jax.lax.broadcasted_iota(
-            jnp.int32, (DENSE_DST_SUB, BLOCK), 0) + base
+            jnp.int32, (DENSE_DST_SUB, nd.shape[0]), 0) + base
         oh_d = (rows_d == nd[None, :]).astype(t_ref.dtype)
         dz_ref[pl.ds(base, DENSE_DST_SUB), :] += jax.lax.dot_general(
             oh_d, dt, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
 
 
-def _prep(z, ns, rel_ids):
+def _prep(z, ns, rel_ids, block):
     m = ns.shape[0]
-    assert m % BLOCK == 0, (
-        f"fused neg path needs K·E ({m}) % {BLOCK} == 0 — loaders align "
+    assert m % block == 0, (
+        f"fused neg path needs K·E ({m}) % {block} == 0 — loaders align "
         f"edge budgets to lcm(block, 2048)")
-    num_chunks = m // BLOCK
+    num_chunks = m // block
     chunks8 = _round_up(num_chunks, 8)
     n_pad = _round_up(max(z.shape[0], WINDOW), ALIGN)
     zb = z.astype(jnp.bfloat16)
     if n_pad != z.shape[0]:
         zb = jnp.pad(zb, ((0, n_pad - z.shape[0]), (0, 0)))
-    first = jnp.maximum(ns[::BLOCK], 0)
+    first = jnp.maximum(ns[::block], 0)
     lo_blocks = first // ALIGN
 
     def tiles(v, fill):
-        t2 = v.reshape(num_chunks, BLOCK)
+        t2 = v.reshape(num_chunks, block)
         if chunks8 != num_chunks:
             t2 = jnp.pad(t2, ((0, chunks8 - num_chunks), (0, 0)),
                          constant_values=fill)
@@ -271,34 +367,37 @@ def _prep(z, ns, rel_ids):
 
 
 def _fwd_call(mode, z, ns, t_rows, rel_ids, rel_emb):
-    num_chunks, chunks8, n_pad, zb, lo_blocks, tiles = _prep(z, ns, rel_ids)
+    block = block_for(mode)
+    num_chunks, chunks8, n_pad, zb, lo_blocks, tiles = _prep(
+        z, ns, rel_ids, block)
     d = z.shape[1]
     r = rel_emb.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(num_chunks,),
         in_specs=[
-            pl.BlockSpec((8, BLOCK), lambda c, lo: (c // 8, 0),
+            pl.BlockSpec((8, block), lambda c, lo: (c // 8, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, BLOCK), lambda c, lo: (c // 8, 0),
+            pl.BlockSpec((8, block), lambda c, lo: (c // 8, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((BLOCK, d), lambda c, lo: (c, 0),
+            pl.BlockSpec((block, d), lambda c, lo: (c, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),   # z (full, bf16)
             pl.BlockSpec(memory_space=pltpu.VMEM),   # rel_emb
         ],
-        out_specs=pl.BlockSpec((8, BLOCK), lambda c, lo: (c // 8, 0),
+        out_specs=pl.BlockSpec((8, block), lambda c, lo: (c // 8, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((BLOCK, d), jnp.bfloat16)],
+        scratch_shapes=[pltpu.VMEM((block, d), jnp.bfloat16)],
     )
     out = pl.pallas_call(
         functools.partial(_fwd_kernel, mode, n_pad),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((chunks8, BLOCK), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((chunks8, block), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=2 * ns.shape[0] * (WINDOW + r) * d,
             bytes_accessed=t_rows.size * 2 + n_pad * d * 2,
-            transcendentals=0,
+            transcendentals=(ns.shape[0] * rel_emb.shape[1] * 2
+                             if mode == "rotate" else 0),
         ),
     )(lo_blocks, tiles(ns.astype(jnp.int32), -1),
       tiles(rel_ids.astype(jnp.int32), 0), t_rows.astype(jnp.bfloat16),
@@ -309,22 +408,24 @@ def _fwd_call(mode, z, ns, t_rows, rel_ids, rel_emb):
 def _bwd_call(mode, z, ns, t_rows, rel_ids, rel_emb, ds, nd=None):
     """Returns (dz_src, dre, dt) in streamed mode (nd None) or
     (dz_src_and_dst, dre, None) in dense-dst mode (small envelopes)."""
-    num_chunks, chunks8, n_pad, zb, lo_blocks, tiles = _prep(z, ns, rel_ids)
+    block = block_for(mode)
+    num_chunks, chunks8, n_pad, zb, lo_blocks, tiles = _prep(
+        z, ns, rel_ids, block)
     d = z.shape[1]
-    r = rel_emb.shape[0]
+    r, dr = rel_emb.shape                       # dr < d for RotatE phases
     r_pad = _round_up(max(r, 8), 8)
     re = rel_emb.astype(jnp.bfloat16)
     if r_pad != r:
         re = jnp.pad(re, ((0, r_pad - r), (0, 0)))
     if nd is not None:
-        tile_spec = pl.BlockSpec((8, BLOCK), lambda c, lo: (c // 8, 0),
+        tile_spec = pl.BlockSpec((8, block), lambda c, lo: (c // 8, 0),
                                  memory_space=pltpu.VMEM)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(num_chunks,),
             in_specs=[
                 tile_spec, tile_spec, tile_spec,
-                pl.BlockSpec((BLOCK, d), lambda c, lo: (c, 0),
+                pl.BlockSpec((block, d), lambda c, lo: (c, 0),
                              memory_space=pltpu.VMEM),
                 tile_spec,
                 pl.BlockSpec(memory_space=pltpu.VMEM),   # z
@@ -333,22 +434,23 @@ def _bwd_call(mode, z, ns, t_rows, rel_ids, rel_emb, ds, nd=None):
             out_specs=[
                 pl.BlockSpec((n_pad, d), lambda c, lo: (0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((r_pad, d), lambda c, lo: (0, 0),
+                pl.BlockSpec((r_pad, dr), lambda c, lo: (0, 0),
                              memory_space=pltpu.VMEM),
             ],
-            scratch_shapes=[pltpu.VMEM((BLOCK, d), jnp.bfloat16)],
+            scratch_shapes=[pltpu.VMEM((block, d), jnp.bfloat16)],
         )
         dz, dre = pl.pallas_call(
             functools.partial(_bwd_kernel_dense, mode, n_pad),
             grid_spec=grid_spec,
             out_shape=[
                 jax.ShapeDtypeStruct((n_pad, d), jnp.float32),
-                jax.ShapeDtypeStruct((r_pad, d), jnp.float32),
+                jax.ShapeDtypeStruct((r_pad, dr), jnp.float32),
             ],
             cost_estimate=pl.CostEstimate(
                 flops=2 * ns.shape[0] * (2 * WINDOW + n_pad + 2 * r) * d,
                 bytes_accessed=t_rows.size * 2 + n_pad * d * 6,
-                transcendentals=0,
+                transcendentals=(ns.shape[0] * dr * 2
+                                 if mode == "rotate" else 0),
             ),
         )(lo_blocks, tiles(ns.astype(jnp.int32), -1),
           tiles(rel_ids.astype(jnp.int32), 0),
@@ -362,13 +464,13 @@ def _bwd_call(mode, z, ns, t_rows, rel_ids, rel_emb, ds, nd=None):
         num_scalar_prefetch=1,
         grid=(num_chunks,),
         in_specs=[
-            pl.BlockSpec((8, BLOCK), lambda c, lo: (c // 8, 0),
+            pl.BlockSpec((8, block), lambda c, lo: (c // 8, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, BLOCK), lambda c, lo: (c // 8, 0),
+            pl.BlockSpec((8, block), lambda c, lo: (c // 8, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((BLOCK, d), lambda c, lo: (c, 0),
+            pl.BlockSpec((block, d), lambda c, lo: (c, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, BLOCK), lambda c, lo: (c // 8, 0),
+            pl.BlockSpec((8, block), lambda c, lo: (c // 8, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),   # z
             pl.BlockSpec(memory_space=pltpu.VMEM),   # rel_emb
@@ -376,25 +478,26 @@ def _bwd_call(mode, z, ns, t_rows, rel_ids, rel_emb, ds, nd=None):
         out_specs=[
             pl.BlockSpec((n_pad, d), lambda c, lo: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((r_pad, d), lambda c, lo: (0, 0),
+            pl.BlockSpec((r_pad, dr), lambda c, lo: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((BLOCK, d), lambda c, lo: (c, 0),
+            pl.BlockSpec((block, d), lambda c, lo: (c, 0),
                          memory_space=pltpu.VMEM),
         ],
-        scratch_shapes=[pltpu.VMEM((BLOCK, d), jnp.bfloat16)],
+        scratch_shapes=[pltpu.VMEM((block, d), jnp.bfloat16)],
     )
     dz, dre, dt = pl.pallas_call(
         functools.partial(_bwd_kernel, mode, n_pad),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((n_pad, d), jnp.float32),
-            jax.ShapeDtypeStruct((r_pad, d), jnp.float32),
+            jax.ShapeDtypeStruct((r_pad, dr), jnp.float32),
             jax.ShapeDtypeStruct((ns.shape[0], d), jnp.bfloat16),
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * ns.shape[0] * (2 * WINDOW + 2 * r) * d,
             bytes_accessed=t_rows.size * 4 + n_pad * d * 6,
-            transcendentals=0,
+            transcendentals=(ns.shape[0] * dr * 2
+                             if mode == "rotate" else 0),
         ),
     )(lo_blocks, tiles(ns.astype(jnp.int32), -1),
       tiles(rel_ids.astype(jnp.int32), 0), t_rows.astype(jnp.bfloat16),
@@ -443,3 +546,5 @@ def _make_neg_scores(mode):
 
 distmult_neg_scores = _make_neg_scores("distmult")
 complex_neg_scores = _make_neg_scores("complex")
+transe_neg_scores = _make_neg_scores("transe")
+rotate_neg_scores = _make_neg_scores("rotate")

@@ -90,6 +90,31 @@ def partition_graph(batch: GraphBatch, num_shards: int,
         node_mask=np.stack(nms))
 
 
+def _encode_shard(layer_params, x, ei, et, em, brel, axis, shard_n,
+                  num_rel):
+    """Per-shard RGCN forward body (dst-local edges; one all_gather of the
+    current feature shard per layer — the only cross-device traffic)."""
+    my = jax.lax.axis_index(axis)
+    for i, lp in enumerate(layer_params):
+        x_full = jax.lax.all_gather(x, axis, tiled=True)  # (N_pad, d)
+        src, dst = ei[0], ei[1]
+        dst_local = dst - my * shard_n
+        msg = jnp.take(x_full, src, axis=0) \
+            * em[:, None].astype(x_full.dtype)
+        h = relation_matmul(msg, lp["w_rel"], et, brel)
+        cnt = per_dst_relation_counts(dst_local, et, em, shard_n,
+                                      num_rel)
+        norm = em.astype(h.dtype) / jnp.maximum(
+            cnt[dst_local, et], 1.0)
+        agg = scatter_add(h * norm[:, None], dst_local, shard_n)
+        x = jnp.dot(x, lp["w_root"],
+                    preferred_element_type=jnp.float32
+                    ).astype(x.dtype) + lp["b"] + agg
+        if i < len(layer_params) - 1:
+            x = jax.nn.relu(x)
+    return x
+
+
 def sharded_rgcn_encode(encoder, params, sharded: ShardedGraph,
                         mesh: Mesh, axis: str = "dp"):
     """Full-graph RGCN forward with the feature table sharded over ``axis``.
@@ -103,26 +128,9 @@ def sharded_rgcn_encode(encoder, params, sharded: ShardedGraph,
     def per_shard(layer_params, x_shard, ei, et, em, brel, nmask):
         x_shard, ei, et = x_shard[0], ei[0].astype(jnp.int32), \
             et[0].astype(jnp.int32)
-        em, brel, nmask = em[0], brel[0].astype(jnp.int32), nmask[0]
-        my = jax.lax.axis_index(axis)
-        x = x_shard
-        for i, lp in enumerate(layer_params):
-            x_full = jax.lax.all_gather(x, axis, tiled=True)  # (N_pad, d)
-            src, dst = ei[0], ei[1]
-            dst_local = dst - my * shard_n
-            msg = jnp.take(x_full, src, axis=0) \
-                * em[:, None].astype(x_full.dtype)
-            h = relation_matmul(msg, lp["w_rel"], et, brel)
-            cnt = per_dst_relation_counts(dst_local, et, em, shard_n,
-                                          num_rel)
-            norm = em.astype(h.dtype) / jnp.maximum(
-                cnt[dst_local, et], 1.0)
-            agg = scatter_add(h * norm[:, None], dst_local, shard_n)
-            x = jnp.dot(x, lp["w_root"],
-                        preferred_element_type=jnp.float32
-                        ).astype(x.dtype) + lp["b"] + agg
-            if i < len(layer_params) - 1:
-                x = jax.nn.relu(x)
+        em, brel = em[0], brel[0].astype(jnp.int32)
+        x = _encode_shard(layer_params, x_shard, ei, et, em, brel, axis,
+                          shard_n, num_rel)
         return x[None]
 
     spec = P(axis)
@@ -135,3 +143,121 @@ def sharded_rgcn_encode(encoder, params, sharded: ShardedGraph,
                           sharded.edge_type, sharded.edge_mask,
                           sharded.block_rel, sharded.node_mask)
     return out.reshape(-1, out.shape[-1])  # (N_pad, out_dim)
+
+
+def make_sharded_train_step(encoder, decoder, tx, mesh: Mesh,
+                            num_relations: int, neg_ratio: int = 4,
+                            axis: str = "dp"):
+    """Full-graph KGE TRAINING with the node-embedding table sharded
+    (round-2 VERDICT #6 — the forward-only export path now trains).
+
+    Per step, inside one shard_map program:
+
+      1. each shard encodes its feature partition (``_encode_shard`` —
+         one all_gather per layer over ``axis``),
+      2. all-gathers the final embeddings once and scores its LOCAL
+         (dst-partitioned) positive edges plus ``neg_ratio`` iid
+         corruptions over the global node range,
+      3. the masked-BCE numerator/denominator and the z-regularizer
+         reduce with ``psum`` (same loss semantics as
+         training/kge_module.py:398-408: BCE + 1e-2·(mean z² + mean
+         rel²)), so every shard holds the identical replicated loss,
+      4. grads flow back THROUGH the collectives (all_gather transposes
+         to reduce-scatter; replicated params psum their cotangents) and
+         a replicated adam update applies.
+
+    Returns ``step_fn(state, sharded, rng, fixed_neg=None)``;
+    ``fixed_neg`` is an optional (P, 2, K, E_p) array of per-shard
+    (src, dst) negative ids used by the correctness tests (production
+    samples on device from ``rng``).
+    """
+    import functools
+
+    import optax
+
+    from ..training.kge_module import TrainState
+
+    def loss_shardmap(params, sharded, rng, fixed_neg):
+        shard_n = sharded.x.shape[1]
+        num_rel = num_relations
+
+        def per_shard(params, x, ei, et, em, brel, nmask, fneg):
+            x, ei = x[0], ei[0].astype(jnp.int32)
+            et, em = et[0].astype(jnp.int32), em[0]
+            brel, nmask = brel[0].astype(jnp.int32), nmask[0]
+            fneg = fneg[0]
+            enc_p = params["encoder"]["layers"]
+            dec_p = params["decoder"]
+            z_local = _encode_shard(enc_p, x, ei, et, em, brel, axis,
+                                    shard_n, num_rel)
+            z_full = jax.lax.all_gather(z_local, axis, tiled=True)
+
+            src, dst = ei[0], ei[1]
+            pos = decoder.score(dec_p, z_full, src, dst, et)
+
+            if fneg.size:
+                neg_src, neg_dst = fneg[0], fneg[1]          # (K, E_p)
+            else:
+                my = jax.lax.axis_index(axis)
+                r = jax.random.fold_in(rng, my)
+                r_s, r_d = jax.random.split(r)
+                n_real = jnp.maximum(jax.lax.psum(
+                    jnp.sum(nmask.astype(jnp.int32)), axis), 1)
+                shape = (neg_ratio, et.shape[0])
+                neg_src = (jax.random.uniform(r_s, shape)
+                           * n_real).astype(jnp.int32)
+                neg_dst = (jax.random.uniform(r_d, shape)
+                           * n_real).astype(jnp.int32)
+            neg = decoder.score_neg(dec_p, z_full, neg_src, neg_dst,
+                                    et).reshape(-1)
+
+            k = neg_src.shape[0]
+            pred = jnp.concatenate([pos, neg])
+            gt = jnp.concatenate([jnp.ones_like(pos),
+                                  jnp.zeros_like(neg)])
+            w = jnp.concatenate(
+                [em, jnp.broadcast_to(em[None], (k, em.shape[0]))
+                 .reshape(-1)]).astype(pred.dtype)
+            # masked BCE as psum'd num/den (kge_module semantics)
+            logp = jax.nn.log_sigmoid(pred)
+            log1mp = jax.nn.log_sigmoid(-pred)
+            per = -(gt * logp + (1.0 - gt) * log1mp)
+            num = jax.lax.psum(jnp.sum(per * w), axis)
+            den = jax.lax.psum(jnp.sum(w), axis)
+            bce = num / jnp.maximum(den, 1.0)
+
+            nm = nmask.astype(z_local.dtype)
+            z_num = jax.lax.psum(jnp.sum((z_local ** 2) * nm[:, None]),
+                                 axis)
+            z_den = jax.lax.psum(jnp.sum(nm), axis)
+            reg_z = z_num / (jnp.maximum(z_den, 1.0) * z_local.shape[-1])
+            reg_rel = sum(jnp.mean(v ** 2) for v in
+                          jax.tree_util.tree_leaves(dec_p))
+            return bce + 1e-2 * (reg_z + reg_rel)
+
+        spec = P(axis)
+        mapped = shard_map(
+            per_shard, mesh,
+            in_specs=(P(), spec, spec, spec, spec, spec, spec, spec),
+            out_specs=P())
+        return mapped(params, sharded.x, sharded.edge_index,
+                      sharded.edge_type, sharded.edge_mask,
+                      sharded.block_rel, sharded.node_mask, fixed_neg)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step_fn(state: "TrainState", sharded: ShardedGraph, rng,
+                fixed_neg):
+        loss, grads = jax.value_and_grad(loss_shardmap)(
+            state.params, sharded, rng, fixed_neg)
+        updates, opt_state = tx.update(grads, state.opt_state,
+                                       state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), loss
+
+    def run(state, sharded, rng, fixed_neg=None):
+        if fixed_neg is None:
+            p = sharded.x.shape[0]
+            fixed_neg = np.zeros((p, 2, 0, 0), np.int32)
+        return step_fn(state, sharded, rng, jnp.asarray(fixed_neg))
+
+    return run

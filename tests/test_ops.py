@@ -559,3 +559,78 @@ def test_distance_decoder_sorted_neg_matches_combine(rng, decoder_name):
                         take_rows(z, nd))
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("mode", ["transe", "rotate"])
+def test_fused_distance_neg_scores_and_grads(rng, mode):
+    """Fused Pallas distance kernels (round-2 VERDICT #2): TransE L1 /
+    RotatE rotate-and-L2 vs the decoders' own bf16 math — values and all
+    three grads (dz via both src windows and dst scatter, d rel_emb via
+    the one-hot matmul)."""
+    import jax
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    from biomedkg_tpu.models.decoders import RotatE, TransE
+    from biomedkg_tpu.ops.pallas import negscore
+    from biomedkg_tpu.ops.segment import take_rows
+
+    N, d, R = 100, 256, 5
+    M = negscore.BLOCK * 2
+    cls = TransE if mode == "transe" else RotatE
+    dec = cls(R, d)
+    params = dec.init(jax.random.PRNGKey(0))
+    z = jnp.asarray(rng.standard_normal((N, d)).astype(np.float32))
+    ns = jnp.asarray(np.sort(rng.integers(0, N, M)).astype(np.int32))
+    nd = jnp.asarray(rng.integers(0, N, M).astype(np.int32))
+    rel = jnp.asarray(rng.integers(0, R, M).astype(np.int32))
+    cot = jnp.asarray(rng.standard_normal(M).astype(np.float32))
+    kernel = (negscore.transe_neg_scores if mode == "transe"
+              else negscore.rotate_neg_scores)
+    offset = 0.0 if mode == "transe" else dec.gamma
+
+    def f_fused(z, re):
+        return jnp.sum((kernel(z, ns, nd, rel, re) + offset) * cot)
+
+    def f_ref(z, re):
+        zb = z.astype(jnp.bfloat16).astype(jnp.float32)
+        reb = re.astype(jnp.bfloat16).astype(jnp.float32)
+        return jnp.sum(dec._combine(take_rows(zb, ns),
+                                    take_rows(reb, rel),
+                                    take_rows(zb, nd)) * cot)
+
+    with pltpu.force_tpu_interpret_mode():
+        v1, (gz1, gr1) = jax.value_and_grad(f_fused, (0, 1))(
+            z, params["rel_emb"])
+    v2, (gz2, gr2) = jax.value_and_grad(f_ref, (0, 1))(
+        z, params["rel_emb"])
+    assert abs(float(v1) - float(v2)) / (abs(float(v2)) + 1e-6) < 2e-2
+    for a, b in [(gz1, gz2), (gr1, gr2)]:
+        a, b = np.asarray(a), np.asarray(b)
+        rel_err = np.abs(a - b).max() / (np.abs(b).max() + 1e-6)
+        assert rel_err < 4e-2, rel_err
+
+
+def test_fused_neg_scores_wide_id_span(rng):
+    """ids spread across MANY windows in one chunk (the fori_loop window
+    sweep replacing the static unroll must cover them all)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from biomedkg_tpu.ops.pallas import negscore
+
+    N, d, R = 2000, 128, 3          # n_pad = 2048 → 8 windows
+    M = negscore.BLOCK
+    ns = np.sort(rng.integers(0, N, M)).astype(np.int32)  # full span
+    nd = rng.integers(0, N, M).astype(np.int32)
+    rel = rng.integers(0, R, M).astype(np.int32)
+    z = jnp.asarray(rng.standard_normal((N, d)).astype(np.float32))
+    re = jnp.asarray(rng.standard_normal((R, d)).astype(np.float32))
+    with pltpu.force_tpu_interpret_mode():
+        s = negscore.distmult_neg_scores(z, jnp.asarray(ns),
+                                         jnp.asarray(nd),
+                                         jnp.asarray(rel), re)
+    zb = np.asarray(z.astype(jnp.bfloat16), np.float32)
+    reb = np.asarray(re.astype(jnp.bfloat16), np.float32)
+    expected = np.sum(zb[ns] * reb[rel] * zb[nd], -1)
+    np.testing.assert_allclose(np.asarray(s), expected, rtol=5e-2,
+                               atol=1e-1)

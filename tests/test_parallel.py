@@ -55,3 +55,124 @@ def test_dryrun_multichip():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+def test_graph_sharded_training_matches_single_device(graph):
+    """Round-2 VERDICT #6: the sharded-table regime TRAINS. One step of
+    make_sharded_train_step (psum'd loss + grads through the collectives,
+    adam update) must match a single-device computation of the identical
+    loss on the same edges + FIXED negatives."""
+    import jax.numpy as jnp
+    import optax
+
+    from biomedkg_tpu.models.decoders import DistMult
+    from biomedkg_tpu.models.factory import GAE
+    from biomedkg_tpu.parallel.graph_shard import make_sharded_train_step
+    from biomedkg_tpu.training.kge_module import TrainState
+
+    tg = graph
+    R = tg.num_edge_types
+    enc = RGCN(in_dim=DIM, hidden_dim=DIM, out_dim=DIM,
+               num_hidden_layers=1, num_relations=R, drop_out=False)
+    dec = DistMult(R, DIM)
+    model = GAE(enc, dec)
+    params = model.init(jax.random.PRNGKey(0))
+    tx = optax.adam(1e-2)
+    state = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+
+    batch = FullGraphLoader(tg.graph, block_size=64).batch()
+    P_SH = 8
+    sharded = partition_graph(batch, num_shards=P_SH, num_relations=R,
+                              block_size=64)
+    rng = np.random.default_rng(0)
+    K = 3
+    e_p = sharded.edge_type.shape[1]
+    n_pad = batch.x.shape[0]
+    fixed_neg = rng.integers(0, tg.graph.num_nodes,
+                             (P_SH, 2, K, e_p)).astype(np.int32)
+
+    # the step donates its input state; snapshot params for the reference
+    params = jax.tree_util.tree_map(lambda a: jnp.array(np.asarray(a)),
+                                    params)
+    mesh = make_mesh(dp=P_SH, tp=1)
+    step = make_sharded_train_step(enc, dec, tx, mesh, R, neg_ratio=K)
+    new_state, loss = step(state, sharded, jax.random.PRNGKey(1),
+                           fixed_neg=fixed_neg)
+    loss = float(loss)
+
+    # single-device reference: same per-shard edges/negatives flattened
+    def ref_loss(params):
+        z = enc.apply(params["encoder"], batch.x, batch.edge_index,
+                      batch.edge_type, batch.edge_mask, batch.block_rel,
+                      training=False)
+        num = den = 0.0
+        for p in range(P_SH):
+            ei = sharded.edge_index[p]
+            et = sharded.edge_type[p].astype(np.int32)
+            em = sharded.edge_mask[p].astype(np.float32)
+            pos = dec.score(params["decoder"], z, ei[0], ei[1], et)
+            neg = dec.score_neg(params["decoder"], z,
+                                jnp.asarray(fixed_neg[p, 0]),
+                                jnp.asarray(fixed_neg[p, 1]),
+                                jnp.asarray(et)).reshape(-1)
+            pred = jnp.concatenate([pos, neg])
+            gt = jnp.concatenate([jnp.ones_like(pos),
+                                  jnp.zeros_like(neg)])
+            w = jnp.concatenate([em, jnp.tile(em, K)])
+            per = -(gt * jax.nn.log_sigmoid(pred)
+                    + (1 - gt) * jax.nn.log_sigmoid(-pred))
+            num = num + jnp.sum(per * w)
+            den = den + jnp.sum(w)
+        bce = num / den
+        nm = batch.node_mask.astype(np.float32)
+        reg_z = jnp.sum((z ** 2) * nm[:, None]) / (np.sum(nm) * DIM)
+        reg_rel = jnp.mean(params["decoder"]["rel_emb"] ** 2)
+        return bce + 1e-2 * (reg_z + reg_rel)
+
+    ref_l, ref_g = jax.value_and_grad(ref_loss)(params)
+    assert abs(loss - float(ref_l)) < 1e-5, (loss, float(ref_l))
+
+    # adam-updated params must match a reference update with ref grads
+    upd, _ = tx.update(ref_g, tx.init(params), params)
+    ref_params = optax.apply_updates(params, upd)
+    for (ka, a), (kb, b) in zip(
+            jax.tree_util.tree_leaves_with_path(new_state.params),
+            jax.tree_util.tree_leaves_with_path(ref_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-5,
+                                   err_msg=str(ka))
+
+
+def test_graph_sharded_training_sampled_negatives_runs(graph):
+    """Production mode (on-device per-shard sampling) executes and the
+    loss decreases over a few steps."""
+    import jax.numpy as jnp
+    import optax
+
+    from biomedkg_tpu.models.decoders import DistMult
+    from biomedkg_tpu.models.factory import GAE
+    from biomedkg_tpu.parallel.graph_shard import make_sharded_train_step
+    from biomedkg_tpu.training.kge_module import TrainState
+
+    tg = graph
+    R = tg.num_edge_types
+    enc = RGCN(in_dim=DIM, hidden_dim=DIM, out_dim=DIM,
+               num_hidden_layers=1, num_relations=R, drop_out=False)
+    dec = DistMult(R, DIM)
+    model = GAE(enc, dec)
+    params = model.init(jax.random.PRNGKey(0))
+    tx = optax.adam(5e-3)
+    state = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+
+    batch = FullGraphLoader(tg.graph, block_size=64).batch()
+    sharded = partition_graph(batch, num_shards=8, num_relations=R,
+                              block_size=64)
+    mesh = make_mesh(dp=8, tp=1)
+    step = make_sharded_train_step(enc, dec, tx, mesh, R, neg_ratio=4)
+    losses = []
+    key = jax.random.PRNGKey(2)
+    for i in range(12):
+        key, r = jax.random.split(key)
+        state, loss = step(state, sharded, r)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0], losses
