@@ -15,9 +15,18 @@ from .synthetic import synthetic_dpi
 from .triplet import TripletGraph
 
 
+_DPI_COLUMNS = {"x_type", "x_name", "y_type", "y_name", "relation"}
+
+
 class DPI(TripletGraph):
     def __init__(self, data_dir: str, encoder: Optional[Callable] = None):
-        if os.path.exists(data_dir):
+        from .primekg import user_supplied_csv
+
+        user = user_supplied_csv("BIOMEDKG_DPI_CSV", _DPI_COLUMNS)
+        if user:
+            print(f"[biomedkg_tpu] DPI csv from BIOMEDKG_DPI_CSV={user}")
+            df = pd.read_csv(user)
+        elif os.path.exists(data_dir):
             df = pd.read_csv(data_dir)
         else:
             print("[biomedkg_tpu] DPI benchmark csv unavailable; "

@@ -10,6 +10,7 @@ synthetic PrimeKG-schema graph is generated and a warning printed.
 
 from __future__ import annotations
 
+import hashlib
 import os
 import urllib.request
 from typing import Callable, List, Optional
@@ -24,6 +25,44 @@ PRIMEKG_URL = "https://dataverse.harvard.edu/api/access/datafile/6180620"
 # lacks these is corrupt/truncated and is discarded rather than cached
 _REQUIRED_COLUMNS = {"x_type", "x_name", "y_type", "y_name",
                      "relation", "display_relation"}
+
+
+def _sha256(path: str) -> str:
+    h = hashlib.sha256()
+    with open(path, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 20), b""):
+            h.update(chunk)
+    return h.hexdigest()
+
+
+def user_supplied_csv(env_key: str,
+                      required_columns=frozenset()) -> Optional[str]:
+    """Day-one real-data on-ramp (round-2 VERDICT #8): when egress exists
+    nowhere near the training box, a user drops the real csv anywhere and
+    points ``$<env_key>`` at it; ``$<env_key>_SHA256`` (optional)
+    validates integrity before anything trains on it. Schema is checked
+    against the columns the loader consumes — a wrong file fails loudly,
+    not as silent garbage."""
+    path = os.environ.get(env_key)
+    if not path:
+        return None
+    if not os.path.exists(path):
+        raise FileNotFoundError(
+            f"{env_key}={path!r} does not exist")
+    want = os.environ.get(env_key + "_SHA256")
+    if want:
+        got = _sha256(path)
+        if got.lower() != want.lower():
+            raise ValueError(
+                f"{env_key} checksum mismatch: file {got}, "
+                f"expected {want}")
+    header = set(pd.read_csv(path, nrows=0).columns)
+    missing = set(required_columns) - header
+    if missing:
+        raise ValueError(
+            f"{env_key}={path!r} lacks required columns {sorted(missing)}; "
+            f"found {sorted(header)}")
+    return path
 
 
 def _download_csv(csv_path: str) -> bool:
@@ -43,6 +82,10 @@ def _download_csv(csv_path: str) -> bool:
 
 
 def _load_dataframe(data_dir: str) -> pd.DataFrame:
+    user = user_supplied_csv("BIOMEDKG_KG_CSV", _REQUIRED_COLUMNS)
+    if user:
+        print(f"[biomedkg_tpu] PrimeKG csv from BIOMEDKG_KG_CSV={user}")
+        return pd.read_csv(user, low_memory=False)
     try:
         from tdc.resource import PrimeKG as TDCPrimeKG  # optional dep
 

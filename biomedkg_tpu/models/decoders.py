@@ -94,7 +94,8 @@ class TransE(_Decoder):
         scatter transpose routes through the Pallas sorted segment-sum."""
         from ..ops.pallas import negscore
 
-        if (jax.default_backend() in ("tpu", "axon")
+        if (not negscore.DISABLE
+                and jax.default_backend() in ("tpu", "axon")
                 and z.dtype == jnp.bfloat16
                 and z.shape[1] % 128 == 0        # lane-aligned blocks
                 and neg_src.shape[0] % negscore.block_for("transe") == 0
@@ -153,7 +154,8 @@ class DistMult(_Decoder):
         """
         from ..ops.pallas import negscore
 
-        if (jax.default_backend() in ("tpu", "axon")
+        if (not negscore.DISABLE
+                and jax.default_backend() in ("tpu", "axon")
                 and z.dtype == jnp.bfloat16  # keeps f32 mode full-precision
                 and z.shape[1] % 128 == 0    # lane-aligned (BLOCK, d) tiles
                 and neg_src.shape[0] % negscore.BLOCK == 0
@@ -218,7 +220,8 @@ class ComplEx(_Decoder):
         project-then-select and fused-kernel paths apply unchanged."""
         from ..ops.pallas import negscore
 
-        if (jax.default_backend() in ("tpu", "axon")
+        if (not negscore.DISABLE
+                and jax.default_backend() in ("tpu", "axon")
                 and z.dtype == jnp.bfloat16
                 and self.hidden_channels % 256 == 0  # lane-aligned halves
                 and neg_src.shape[0] % negscore.BLOCK == 0
@@ -311,7 +314,8 @@ class RotatE(_Decoder):
         outside."""
         from ..ops.pallas import negscore
 
-        if (jax.default_backend() in ("tpu", "axon")
+        if (not negscore.DISABLE
+                and jax.default_backend() in ("tpu", "axon")
                 and z.dtype == jnp.bfloat16
                 and self.hidden_channels % 256 == 0  # lane-aligned halves
                 and neg_src.shape[0] % negscore.block_for("rotate") == 0

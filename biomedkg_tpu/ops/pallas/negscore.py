@@ -43,6 +43,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .segsum import ALIGN, WINDOW, _round_up
 
+# kill-switch for A/B convergence probes: BIOMEDKG_NO_FUSED_NEG=1 forces
+# every decoder onto its unfused sorted path (checked by the decoder gates)
+import os
+
+DISABLE = os.environ.get("BIOMEDKG_NO_FUSED_NEG", "") == "1"
+
 BLOCK = 2048
 # distance modes build ~8 extra f32 (B, d) temporaries per chunk (the
 # normalized/rotated rows and their VJPs); at B = 2048 that overflows the

@@ -43,28 +43,37 @@ def _masked_mean(values, mask):
 def jsd_g2l_loss(z, g, zn, node_mask):
     """PyGCL SingleBranchContrast(JSD, 'G2L') for the DGI triple
     (gcl_module.py:127,140-143): each real node vs the graph summary."""
-    d_pos = jnp.squeeze(z @ g.T, -1)
-    d_neg = jnp.squeeze(zn @ g.T, -1)
+    d_pos = jnp.squeeze(z @ g.T, -1).astype(jnp.float32)
+    d_neg = jnp.squeeze(zn @ g.T, -1).astype(jnp.float32)
     e_pos = _masked_mean(_LOG2 - jax.nn.softplus(-d_pos), node_mask)
     e_neg = _masked_mean(jax.nn.softplus(-d_neg) + d_neg - _LOG2, node_mask)
     return e_neg - e_pos
 
 
-def infonce_intraview_loss(h1, h2, node_mask, tau: float = 0.2):
+def _l2_normalize(h):
+    return h / jnp.maximum(jnp.linalg.norm(h, axis=-1, keepdims=True),
+                           1e-12)
+
+
+def infonce_intraview_loss(h1, h2, node_mask, tau: float = 0.2,
+                           block: int = 0):
     """PyGCL DualBranchContrast(InfoNCE(tau), 'L2L', intraview_negs=True)
     (gcl_module.py:171-173): cosine similarities, positives on the
     inter-view diagonal, negatives = all inter-view + non-diagonal
-    intra-view pairs; symmetrized over the two directions."""
+    intra-view pairs; symmetrized over the two directions.
 
-    def normalize(h):
-        return h / jnp.maximum(jnp.linalg.norm(h, axis=-1, keepdims=True),
-                               1e-12)
+    ``block > 0`` (and dividing N) streams the similarity rows in
+    (block, N) tiles through a lax.scan — flash-style: the two (N, N)
+    inter/intra matrices (157 MB each at the 6.3k-node production batch,
+    round-2 VERDICT #4) are never materialized in HBM; per-row logsumexp
+    reduces inside each tile. Numerics match the dense form to f32
+    round-off (logsumexp in f32 regardless of input dtype)."""
 
-    def direction(a, b):
-        an, bn = normalize(a), normalize(b)
-        inter = (an @ bn.T) / tau
-        intra = (an @ an.T) / tau
-        neg = jnp.finfo(inter.dtype).min
+    def direction_dense(a, b):
+        an, bn = _l2_normalize(a), _l2_normalize(b)
+        inter = ((an @ bn.T) / tau).astype(jnp.float32)
+        intra = ((an @ an.T) / tau).astype(jnp.float32)
+        neg = jnp.finfo(jnp.float32).min
         col = jnp.where(node_mask[None, :], 0.0, neg)
         inter = inter + col
         eye = jnp.eye(inter.shape[0], dtype=bool)
@@ -75,12 +84,38 @@ def infonce_intraview_loss(h1, h2, node_mask, tau: float = 0.2):
             jax.scipy.special.logsumexp(intra, axis=1))
         return _masked_mean(-(pos - denom), node_mask)
 
+    def direction_blocked(a, b):
+        an, bn = _l2_normalize(a), _l2_normalize(b)
+        n = an.shape[0]
+        neg = jnp.finfo(jnp.float32).min
+        col = jnp.where(node_mask[None, :], 0.0, neg)
+        a_tiles = an.reshape(n // block, block, an.shape[1])
+        idx = jnp.arange(n, dtype=jnp.int32).reshape(n // block, block)
+
+        def tile(_, inp):
+            ab, ib = inp
+            inter = ((ab @ bn.T) / tau).astype(jnp.float32) + col
+            intra = ((ab @ an.T) / tau).astype(jnp.float32)
+            eye = ib[:, None] == jnp.arange(n, dtype=jnp.int32)[None, :]
+            intra = jnp.where(eye, neg, intra + col)
+            pos = jnp.sum(jnp.where(eye, inter, 0.0), axis=1)
+            denom = jnp.logaddexp(
+                jax.scipy.special.logsumexp(inter, axis=1),
+                jax.scipy.special.logsumexp(intra, axis=1))
+            return None, (pos, denom)
+
+        _, (pos, denom) = jax.lax.scan(tile, None, (a_tiles, idx))
+        return _masked_mean(-(pos.reshape(-1) - denom.reshape(-1)),
+                            node_mask)
+
+    direction = (direction_blocked
+                 if block and h1.shape[0] % block == 0 else direction_dense)
     return 0.5 * (direction(h1, h2) + direction(h2, h1))
 
 
 def ggd_bce_loss(pos_h, neg_h, node_mask):
     """BCE over summed projections (gcl_module.py:229-234), masked."""
-    pred = jnp.concatenate([pos_h, neg_h])
+    pred = jnp.concatenate([pos_h, neg_h]).astype(jnp.float32)
     gt = jnp.concatenate([jnp.ones_like(pos_h), jnp.zeros_like(neg_h)])
     w = jnp.concatenate([node_mask, node_mask]).astype(pred.dtype)
     log_p = jax.nn.log_sigmoid(pred)
@@ -96,12 +131,18 @@ class BaseGCL(JittedStepsMixin):
     def __init__(self, in_dim: int, hidden_dim: int, out_dim: int,
                  num_hidden_layers: int, scheduler_type: str = "cosine",
                  learning_rate: float = 2e-4, warm_up_ratio: float = 0.03,
-                 fuse_method: Optional[str] = None, seed: int = 42):
+                 fuse_method: Optional[str] = None, seed: int = 42,
+                 compute_dtype: str = "float32"):
         self.hparams = dict(
             in_dim=in_dim, hidden_dim=hidden_dim, out_dim=out_dim,
             num_hidden_layers=num_hidden_layers,
             scheduler_type=scheduler_type, learning_rate=learning_rate,
-            warm_up_ratio=warm_up_ratio, fuse_method=fuse_method, seed=seed)
+            warm_up_ratio=warm_up_ratio, fuse_method=fuse_method, seed=seed,
+            compute_dtype=compute_dtype)
+        # bf16 encoder/similarity compute (MXU-native) with f32 master
+        # weights and f32 logsumexp/means; "float32" = full precision.
+        self.compute_dtype = (jnp.bfloat16 if compute_dtype == "bfloat16"
+                              else jnp.float32)
         self.encoder = GCNEncoder(in_dim=in_dim, hidden_dim=hidden_dim,
                                   out_dim=out_dim,
                                   num_hidden_layers=num_hidden_layers)
@@ -161,6 +202,12 @@ class BaseGCL(JittedStepsMixin):
         r_fuse, r_model = jax.random.split(rng)
         x = self.fusion_fn(params, self._batch_features(batch),
                            rng=r_fuse, training=training)
+        if self.compute_dtype == jnp.bfloat16:
+            from ..common import tree_cast
+
+            params = dict(params,
+                          model=tree_cast(params["model"], jnp.bfloat16))
+            x = x.astype(jnp.bfloat16)
         loss = self.calculate_loss(params, x, batch, r_model, training)
         return loss, {"loss": loss}
 
@@ -210,7 +257,10 @@ class GRACEModule(BaseGCL):
                                      rng=rng, training=training)
         h1 = self.model.project(params["model"], z1)
         h2 = self.model.project(params["model"], z2)
-        return infonce_intraview_loss(h1, h2, batch.node_mask)
+        n = h1.shape[0]
+        block = next((b for b in (1024, 512, 256, 128)
+                      if n >= 2048 and n % b == 0), 0)
+        return infonce_intraview_loss(h1, h2, batch.node_mask, block=block)
 
 
 class GGDModule(BaseGCL):
@@ -243,7 +293,8 @@ def create_gcl_model(cfg) -> BaseGCL:
                scheduler_type=cfg.scheduler_type,
                learning_rate=cfg.learning_rate,
                warm_up_ratio=cfg.warm_up_ratio,
-               fuse_method=cfg.fuse_method)
+               fuse_method=cfg.fuse_method,
+               compute_dtype=cfg.get("compute_dtype", "float32"))
 
 
 def load_gcl_module(ckpt_path: str):

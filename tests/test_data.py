@@ -132,3 +132,64 @@ def test_modules_setup(tmp_path, monkeypatch):
     assert len(loader) == 100
     batch = next(iter(loader))
     assert batch.x.shape[1] == 16
+
+
+def test_user_supplied_kg_csv(tmp_path, monkeypatch):
+    """Real-data on-ramp (round-2 VERDICT #8): BIOMEDKG_KG_CSV +
+    checksum validation drives PrimeKG from a handcrafted csv with the
+    real column schema — day-one real data needs zero new code."""
+    import hashlib
+
+    import pandas as pd
+
+    from biomedkg_tpu.data.primekg import PrimeKG
+
+    csv = tmp_path / "kg.csv"
+    pd.DataFrame({
+        "relation": ["protein_protein", "drug_protein"],
+        "display_relation": ["ppi", "target"],
+        "x_index": [0, 1], "x_id": ["9796", "DB01"],
+        "x_type": ["gene/protein", "drug"],
+        "x_name": ["PHYHIP", "aspirin"], "x_source": ["NCBI", "DrugBank"],
+        "y_index": [1, 0], "y_id": ["56992", "9796"],
+        "y_type": ["gene/protein", "gene/protein"],
+        "y_name": ["KIF15", "PHYHIP"], "y_source": ["NCBI", "NCBI"],
+    }).to_csv(csv, index=False)
+    sha = hashlib.sha256(csv.read_bytes()).hexdigest()
+
+    monkeypatch.setenv("BIOMEDKG_KG_CSV", str(csv))
+    monkeypatch.setenv("BIOMEDKG_KG_CSV_SHA256", sha)
+    kg = PrimeKG(data_dir=str(tmp_path / "nowhere"),
+                 node_type=["gene/protein", "drug"])
+    assert kg.graph.num_edges == 2
+    assert set(kg.edge_map_index.values()) == {"protein_protein",
+                                               "drug_protein"}
+
+    # checksum mismatch fails loudly
+    monkeypatch.setenv("BIOMEDKG_KG_CSV_SHA256", "0" * 64)
+    with pytest.raises(ValueError, match="checksum"):
+        PrimeKG(data_dir=str(tmp_path / "nowhere"))
+
+    # schema violation fails loudly
+    bad = tmp_path / "bad.csv"
+    pd.DataFrame({"foo": [1]}).to_csv(bad, index=False)
+    monkeypatch.setenv("BIOMEDKG_KG_CSV", str(bad))
+    monkeypatch.delenv("BIOMEDKG_KG_CSV_SHA256")
+    with pytest.raises(ValueError, match="columns"):
+        PrimeKG(data_dir=str(tmp_path / "nowhere"))
+
+
+def test_user_supplied_dpi_csv(tmp_path, monkeypatch):
+    import pandas as pd
+
+    from biomedkg_tpu.data.dpi import DPI
+
+    csv = tmp_path / "dpi.csv"
+    pd.DataFrame({
+        "x_type": ["drug"] * 3, "x_name": ["d1", "d2", "d1"],
+        "relation": ["drug_protein_interaction"] * 3,
+        "y_type": ["gene/protein"] * 3, "y_name": ["g1", "g2", "g2"],
+    }).to_csv(csv, index=False)
+    monkeypatch.setenv("BIOMEDKG_DPI_CSV", str(csv))
+    dpi = DPI(data_dir=str(tmp_path / "nowhere.csv"))
+    assert dpi.graph.num_edges == 3

@@ -72,3 +72,60 @@ def test_ggd_bce_closed_form():
     got = float(ggd_bce_loss(pos, jnp.array([0.5, 0.5]), mask))
     terms = [softplus(-2.0), softplus(1.0), softplus(0.5), softplus(0.5)]
     np.testing.assert_allclose(got, np.mean(terms), rtol=1e-5)
+
+
+def test_infonce_blocked_matches_dense():
+    """Flash-style streamed InfoNCE (VERDICT #5) == dense form."""
+    import jax
+    import jax.numpy as jnp
+
+    from biomedkg_tpu.training.gcl_module import infonce_intraview_loss
+
+    rng = np.random.default_rng(3)
+    n, d = 512, 32
+    h1 = jnp.asarray(rng.standard_normal((n, d)).astype(np.float32))
+    h2 = jnp.asarray(rng.standard_normal((n, d)).astype(np.float32))
+    mask = jnp.asarray(rng.random(n) < 0.9)
+    dense = infonce_intraview_loss(h1, h2, mask, block=0)
+    blocked = infonce_intraview_loss(h1, h2, mask, block=128)
+    np.testing.assert_allclose(float(blocked), float(dense), rtol=1e-6)
+
+    # gradients agree too (the scan transpose re-streams the tiles)
+    g_d = jax.grad(lambda a: infonce_intraview_loss(a, h2, mask,
+                                                    block=0))(h1)
+    g_b = jax.grad(lambda a: infonce_intraview_loss(a, h2, mask,
+                                                    block=128))(h1)
+    np.testing.assert_allclose(np.asarray(g_b), np.asarray(g_d),
+                               rtol=2e-5, atol=1e-6)
+
+
+def _batch(rng, n=40, e=120, d=16):
+    from biomedkg_tpu.sampling.batch import pad_graph_batch
+
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    ei = rng.integers(0, n, (2, e)).astype(np.int64)
+    et = np.zeros(e, np.int32)
+    return pad_graph_batch(x, ei, et, num_relations=1, node_budget=64,
+                           edge_budget=128, block_size=64)
+
+
+def test_gcl_bf16_mode_trains():
+    """compute_dtype=bfloat16 GCL step runs and loss stays finite/close
+    to the f32 step on the same batch."""
+    import jax
+
+    from biomedkg_tpu.training.gcl_module import GRACEModule
+
+    rng = np.random.default_rng(0)
+    losses = {}
+    for dtype in ("float32", "bfloat16"):
+        mod = GRACEModule(in_dim=16, hidden_dim=32, out_dim=32,
+                          num_hidden_layers=1, fuse_method=None,
+                          compute_dtype=dtype)
+        mod.configure_optimizers(4)
+        state = mod.init_state(jax.random.PRNGKey(0))
+        batch = _batch(rng)
+        state, logs = mod.train_step(state, batch, jax.random.PRNGKey(1))
+        losses[dtype] = float(logs["train_loss"])
+    assert np.isfinite(losses["bfloat16"])
+    assert abs(losses["bfloat16"] - losses["float32"]) < 0.1, losses
