@@ -92,18 +92,9 @@ class RGCN:
         lowers to a slow scalar-path gather fusion on TPU."""
         dst = edge_index[1]
         if self.edge_layout == "dst":
-            # dst-sorted edges: counts as a one-hot row reduction through
-            # the sorted kernel, per-edge lookup as a WIDE row gather +
-            # one-hot select — the 1-element count scatter/gather pair
-            # are scalar-path fusions worth ~0.8 ms/step (round-2 trace)
-            ohr = (edge_type[:, None]
-                   == jnp.arange(self.num_relations,
-                                 dtype=edge_type.dtype)[None, :])
-            ohr_f = (ohr & edge_mask[:, None].astype(bool)).astype(
-                jnp.float32)
-            cnt2d = sorted_segment_sum(ohr_f, dst, num_nodes, 4)  # (N, R)
-            rows = take_rows(cnt2d, dst)                          # (E, R)
-            flat_cnt = jnp.sum(jnp.where(ohr, rows, 0.0), axis=1)
+            cnt2d = self._dst_rel_counts(dst, edge_type, edge_mask,
+                                         num_nodes)
+            flat_cnt = self._count_lookup(cnt2d, dst, edge_type)
         else:
             cnt = per_dst_relation_counts(dst, edge_type, edge_mask,
                                           num_nodes, self.num_relations)
@@ -111,6 +102,25 @@ class RGCN:
                                 dst * self.num_relations + edge_type,
                                 mode="clip")
         return edge_mask.astype(jnp.float32) / jnp.maximum(flat_cnt, 1.0)
+
+    def _dst_rel_counts(self, dst, edge_type, edge_mask, num_nodes):
+        """(N, R) per-(dst, rel) real-edge counts via the sorted kernel
+        (dst-sorted edges; the 1-element count scatter/gather pair are
+        scalar-path fusions worth ~0.8 ms/step — round-2 trace)."""
+        ohr = (edge_type[:, None]
+               == jnp.arange(self.num_relations,
+                             dtype=edge_type.dtype)[None, :])
+        ohr_f = (ohr & edge_mask[:, None].astype(bool)).astype(jnp.float32)
+        return sorted_segment_sum(ohr_f, dst, num_nodes, 4)  # (N, R)
+
+    @staticmethod
+    def _count_lookup(cnt2d, dst, edge_type):
+        """Per-edge count as a WIDE row gather + one-hot select."""
+        ohr = (edge_type[:, None]
+               == jnp.arange(cnt2d.shape[1],
+                             dtype=edge_type.dtype)[None, :])
+        rows = take_rows(cnt2d, dst)                          # (E, R)
+        return jnp.sum(jnp.where(ohr, rows, 0.0), axis=1)
 
     def _conv(self, lp, x, edge_index, edge_type, edge_mask, block_rel,
               norm):
@@ -147,11 +157,59 @@ class RGCN:
             + lp["b"] + agg
 
     def apply(self, params, x, edge_index, edge_type, edge_mask, block_rel,
-              *, rng: Optional[jax.Array] = None, training: bool = False):
+              *, rng: Optional[jax.Array] = None, training: bool = False,
+              src_edges=None):
         edge_index = edge_index.astype(jnp.int32)
         edge_type = edge_type.astype(jnp.int32)
         block_rel = block_rel.astype(jnp.int32)
         layers = params["layers"]
+        num_nodes = x.shape[0]
+
+        if (self.edge_layout == "dst" and src_edges is not None
+                and src_edges.size):
+            # aggregate-then-transform conv (ops/aggconv.py): both SpMM
+            # scatters sorted — forward over the (dst, rel)-lexsorted
+            # primary order, backward over the shipped src-sorted copy
+            from ..ops.aggconv import agg_conv
+
+            r = self.num_relations
+            src, dst = edge_index[0], edge_index[1]
+            se = src_edges.astype(jnp.int32)
+            s2, d2, r2, m2 = se[0], se[1], se[2], se[3]
+            cnt2d = self._dst_rel_counts(dst, edge_type, edge_mask,
+                                         num_nodes)
+            norm = edge_mask.astype(jnp.float32) / jnp.maximum(
+                self._count_lookup(cnt2d, dst, edge_type), 1.0)
+            norm2 = m2.astype(jnp.float32) / jnp.maximum(
+                self._count_lookup(cnt2d, d2, r2), 1.0)
+            key = dst * r + edge_type
+            key2 = d2 * r + r2
+
+            def conv_agg(lp, x):
+                # wide-input layers (din > dout, e.g. the 768→256 input
+                # layer) keep the transform-then-aggregate node path: the
+                # agg factorization's SpMM runs at din width, 3× the
+                # traffic there, and segsum would need d-sharding
+                if lp["w_rel"].shape[1] > lp["w_rel"].shape[2]:
+                    return self._conv(lp, x, edge_index, edge_type,
+                                      edge_mask, block_rel, norm)
+                agg = agg_conv(x, lp["w_rel"], src, key,
+                               norm.astype(x.dtype), s2, key2,
+                               norm2.astype(x.dtype))
+                return jnp.dot(x, lp["w_root"],
+                               preferred_element_type=jnp.float32
+                               ).astype(x.dtype) + lp["b"] + agg
+
+            conv_agg = (jax.checkpoint(conv_agg) if self.remat
+                        else conv_agg)
+            for i, lp in enumerate(layers[:-1]):
+                x = jax.nn.relu(conv_agg(lp, x))
+                if self.drop_out:
+                    rng, sub = (jax.random.split(rng) if rng is not None
+                                else (None, None))
+                    x = nn.dropout(sub, x, 0.2, deterministic=not training)
+            return conv_agg(layers[-1], x)
+
         conv = jax.checkpoint(self._conv) if self.remat else self._conv
         norm = self._edge_norm(edge_index, edge_type, edge_mask, x.shape[0])
         for i, lp in enumerate(layers[:-1]):

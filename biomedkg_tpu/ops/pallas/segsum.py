@@ -184,10 +184,12 @@ def _segsum_kernel_path(data, ids, num_segments, max_windows=MAX_WINDOWS):
     # the feature axis until it fits, or cede to the XLA scatter for node
     # counts beyond what lane-width shards can cover.
     d_shard = d
-    while n_pad * d_shard * 4 > VMEM_OUT_BYTES and d_shard % 2 == 0 \
-            and d_shard > 128:
-        d_shard //= 2
-    if n_pad * d_shard * 4 > VMEM_OUT_BYTES:
+    while n_pad * d_shard * 4 > VMEM_OUT_BYTES and d_shard % 256 == 0:
+        d_shard //= 2          # halving a ×256 shard keeps it ×128
+    if n_pad * d_shard * 4 > VMEM_OUT_BYTES \
+            or (d_shard != d and d_shard % 128):
+        # Mosaic requires lane-aligned (×128) trailing block dims unless
+        # the block spans the whole axis — cede rather than crash
         return _segsum_xla(data, ids, num_segments)
 
     out = _segsum_pallas(data, ids, lo_blocks, n_pad, num_win,

@@ -40,6 +40,11 @@ class GraphBatch(NamedTuple):
     block_rel: np.ndarray    # (E_pad // block_size,) int32
     num_seed: np.ndarray     # () int32 — seed nodes occupy rows [0, num_seed)
     node_ids: np.ndarray     # (N_pad,) int32 global node ids (pad slots: 0)
+    # dst-layout batches also carry a SRC-SORTED copy of the edges —
+    # (4, E_pad) rows [src (ascending), dst, rel, mask] — so the conv
+    # backward's dx scatter runs on the sorted Pallas kernel too (the
+    # CSR/CSC transpose pair; ops/aggconv.py). Empty (0,) otherwise.
+    src_edges: np.ndarray = np.zeros(0, np.int16)
 
     @property
     def num_nodes(self) -> int:
@@ -118,7 +123,11 @@ def pad_graph_batch(
     idx_dt = np.int16 if node_budget < 2**15 else np.int32
     rel_dt = np.int8 if num_relations < 2**7 else np.int32
     if layout == "dst":
-        order = np.argsort(edge_index[1], kind="stable")
+        # (dst, rel) lexsort: dst-sorted (the aggregation contract) AND
+        # rel-sorted within each dst, so the combined key dst·R + rel is
+        # globally sorted — the aggregate-then-transform conv's (N·R)-row
+        # SpMM then runs on the sorted kernel (ops/aggconv.py)
+        order = np.lexsort((edge_type, edge_index[1]))
         dummy = node_budget - 1
         ei = np.full((2, edge_budget), dummy, dtype=idx_dt)
         et = np.zeros(edge_budget, dtype=rel_dt)
@@ -127,15 +136,30 @@ def pad_graph_batch(
         ei[1, :num_edges] = edge_index[1, order]
         et[:num_edges] = edge_type[order]
         emask[:num_edges] = True
-        # padding DSTs repeat the largest real dst instead of the dummy
-        # node: their contributions are masked zeros, so any valid id is
-        # correct — and not jumping to node_budget-1 keeps the sorted-
-        # segment windows narrow (ops/pallas/segsum.py)
+        # padding DSTs/RELs repeat the largest real entries instead of the
+        # dummy node: their contributions are masked zeros, so any valid
+        # id is correct — and not jumping keeps the sorted-segment windows
+        # narrow AND the dst·R + rel key monotone through the pad tail
         if num_edges:
             ei[1, num_edges:] = ei[1, num_edges - 1]
+            et[num_edges:] = et[num_edges - 1]
         block_rel = np.zeros(edge_budget // block_size, dtype=rel_dt)
+
+        # src-sorted transpose copy (see GraphBatch.src_edges)
+        sdt = np.int16 if max(node_budget, num_relations) < 2**15             else np.int32
+        src_edges = np.zeros((4, edge_budget), dtype=sdt)
+        if num_edges:
+            o2 = np.argsort(edge_index[0, order], kind="stable")
+            src_edges[0, :num_edges] = edge_index[0, order][o2]
+            src_edges[1, :num_edges] = edge_index[1, order][o2]
+            src_edges[2, :num_edges] = edge_type[order][o2]
+            src_edges[3, :num_edges] = 1
+            src_edges[0, num_edges:] = src_edges[0, num_edges - 1]
+            src_edges[1, num_edges:] = src_edges[1, num_edges - 1]
+            src_edges[2, num_edges:] = src_edges[2, num_edges - 1]
         return _finish_batch(x, num_nodes, node_budget, node_ids, num_seed,
-                             ei, et, emask, block_rel)
+                             ei, et, emask, block_rel,
+                             src_edges=src_edges)
 
     # Relation-sorted placement with per-segment block padding.
     order = np.argsort(edge_type, kind="stable")
@@ -183,7 +207,8 @@ def pad_graph_batch(
 
 
 def _finish_batch(x, num_nodes, node_budget, node_ids, num_seed,
-                  ei, et, emask, block_rel) -> GraphBatch:
+                  ei, et, emask, block_rel,
+                  src_edges=None) -> GraphBatch:
     # Node padding: zero feature rows; last row is the dummy sink.
     if x is not None:
         feat_shape = (node_budget,) + x.shape[1:]
@@ -206,4 +231,6 @@ def _finish_batch(x, num_nodes, node_budget, node_ids, num_seed,
         block_rel=block_rel,
         num_seed=np.int32(num_seed if num_seed is not None else num_nodes),
         node_ids=ids,
+        src_edges=(src_edges if src_edges is not None
+                   else np.zeros(0, np.int16)),
     )

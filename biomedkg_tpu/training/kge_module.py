@@ -284,9 +284,24 @@ class KGEModule(JittedStepsMixin):
 
             enc_params = tree_cast(enc_params, jnp.bfloat16)
             x = x.astype(jnp.bfloat16)
+        enc_kwargs = {}
+        if self.edge_layout == "dst" and batch.src_edges.size:
+            # aggregate-then-transform conv via the shipped src-sorted
+            # copy (ops/aggconv.py). The copy mirrors whatever the
+            # primary order sees: fix_edge_id rewrites its relation row
+            # identically, and cold-start dropout masks its edges with
+            # the same per-node keep draw.
+            se = batch.src_edges.astype(jnp.int32)
+            if self._fix_edge_id is not None:
+                se = se.at[2].set(self._fix_edge_id)
+            if training and self.cold_start_dropout > 0.0:
+                k2 = (jnp.take(keep, se[0], mode="clip")
+                      * jnp.take(keep, se[1], mode="clip"))
+                se = se.at[3].set(se[3] * k2.astype(se.dtype))
+            enc_kwargs["src_edges"] = se
         z = self.model.encoder.apply(enc_params, x, batch.edge_index, etype,
                                      conv_mask, block_rel, rng=r_enc,
-                                     training=training)
+                                     training=training, **enc_kwargs)
         z = z.astype(jnp.float32)
 
         src, dst = batch.edge_index[0], batch.edge_index[1]
