@@ -37,8 +37,13 @@ from .segment import take_rows
 # windows per chunk for the (N·R)-keyed forward aggregation: a chunk of
 # dst-sorted edges spans ~(chunk/avg_deg)·R keys — wider than the plain
 # dst aggregation, so give it more room (empty windows skip in-kernel)
-FWD_WINDOWS = 8
-BWD_WINDOWS = 4
+FWD_WINDOWS = 3
+BWD_WINDOWS = 2
+# the (N·R)-row output (~12.6 MB at the bench envelope) exceeds segsum's
+# default 8 MB resident budget and would d-shard into multi-pass reads;
+# grant it the room instead (output + two (BLOCK, d) stream buffers still
+# fit the 16 MB core VMEM at d = 256)
+FWD_OUT_BUDGET = 13 * 1024 * 1024
 
 
 @jax.custom_vjp
@@ -63,7 +68,8 @@ def _fwd(x, w_rel, src, key, norm, s2, key2, norm2):
     n = x.shape[0]
     r = w_rel.shape[0]
     msg = take_rows(x, src) * norm[:, None].astype(x.dtype)
-    a = sorted_segment_sum(msg, key, n * r, FWD_WINDOWS).astype(x.dtype)
+    a = sorted_segment_sum(msg, key, n * r, FWD_WINDOWS,
+                           FWD_OUT_BUDGET).astype(x.dtype)
     out = jnp.einsum("nrd,rdk->nk", a.reshape(n, r, -1), w_rel,
                      preferred_element_type=jnp.float32).astype(x.dtype)
     return out, (x, w_rel, a)

@@ -117,10 +117,11 @@ def _segsum_pallas(data, ids, lo_blocks, num_out_padded, num_win,
     return call(lo_blocks, ids2d, data)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
 def sorted_segment_sum(data: jax.Array, ids: jax.Array,
                        num_segments: int,
-                       max_windows: int = MAX_WINDOWS) -> jax.Array:
+                       max_windows: int = MAX_WINDOWS,
+                       out_budget: int = 0) -> jax.Array:
     """``out[n] = Σ_{i: ids[i] == n} data[i]`` for (near-)sorted ``ids``.
 
     Args:
@@ -135,9 +136,14 @@ def sorted_segment_sum(data: jax.Array, ids: jax.Array,
         the runtime-conditional fallback cover the astronomically-rare
         overflow; irregular densities (graph aggregation) keep 4.
 
+    ``out_budget``: optional per-call VMEM resident-output budget
+    override (bytes); callers with wide key spaces (the (N·R)-row
+    aggregate-then-transform conv) trade VMEM headroom for avoiding
+    d-sharded multi-pass reads.
+
     Returns (num_segments, d) f32.
     """
-    return _segsum_impl(data, ids, num_segments, max_windows)
+    return _segsum_impl(data, ids, num_segments, max_windows, out_budget)
 
 
 def _segsum_xla(data, ids, num_segments):
@@ -149,17 +155,21 @@ def _segsum_xla(data, ids, num_segments):
         num_segments=num_segments + 1)[:num_segments]
 
 
-def _segsum_impl(data, ids, num_segments, max_windows=MAX_WINDOWS):
+def _segsum_impl(data, ids, num_segments, max_windows=MAX_WINDOWS,
+                 out_budget=0):
     if jax.default_backend() not in ("tpu", "axon") \
             and not _FORCE_KERNEL:
         return _segsum_xla(data, ids, num_segments)
-    return _segsum_kernel_path(data, ids, num_segments, max_windows)
+    return _segsum_kernel_path(data, ids, num_segments, max_windows,
+                               out_budget)
 
 
 _FORCE_KERNEL = False  # tests flip this under force_tpu_interpret_mode
 
 
-def _segsum_kernel_path(data, ids, num_segments, max_windows=MAX_WINDOWS):
+def _segsum_kernel_path(data, ids, num_segments, max_windows=MAX_WINDOWS,
+                        out_budget=0):
+    budget = out_budget or VMEM_OUT_BYTES
     m, d = data.shape
     ids = ids.astype(jnp.int32)
     m_pad = _round_up(max(m, BLOCK), BLOCK)
@@ -184,9 +194,9 @@ def _segsum_kernel_path(data, ids, num_segments, max_windows=MAX_WINDOWS):
     # the feature axis until it fits, or cede to the XLA scatter for node
     # counts beyond what lane-width shards can cover.
     d_shard = d
-    while n_pad * d_shard * 4 > VMEM_OUT_BYTES and d_shard % 256 == 0:
+    while n_pad * d_shard * 4 > budget and d_shard % 256 == 0:
         d_shard //= 2          # halving a ×256 shard keeps it ×128
-    if n_pad * d_shard * 4 > VMEM_OUT_BYTES \
+    if n_pad * d_shard * 4 > budget \
             or (d_shard != d and d_shard % 128):
         # Mosaic requires lane-aligned (×128) trailing block dims unless
         # the block spans the whole axis — cede rather than crash
@@ -216,13 +226,13 @@ def _segsum_kernel_path(data, ids, num_segments, max_windows=MAX_WINDOWS):
     return jax.lax.cond(num_out > 0, _fallback, lambda _: out, None)
 
 
-def _segsum_fwd(data, ids, num_segments, max_windows):
+def _segsum_fwd(data, ids, num_segments, max_windows, out_budget):
     # zero-size dtype token: residuals must be JAX types
-    return _segsum_impl(data, ids, num_segments, max_windows), (
-        ids, jnp.zeros((0,), data.dtype))
+    return _segsum_impl(data, ids, num_segments, max_windows,
+                        out_budget), (ids, jnp.zeros((0,), data.dtype))
 
 
-def _segsum_bwd(num_segments, max_windows, res, g):
+def _segsum_bwd(num_segments, max_windows, out_budget, res, g):
     ids, dtype_token = res
     safe = jnp.clip(ids, 0, num_segments - 1)
     d_data = jnp.take(g, safe, axis=0, mode="clip")

@@ -142,6 +142,10 @@ class KGEModule(JittedStepsMixin):
         assert neg_sampler in ("sorted", "iid"), neg_sampler
         self._neg_sampler = neg_sampler
         self._edge_index_map: Dict[int, str] = {}
+        # opt-in aggregate-then-transform conv (ops/aggconv.py) — a
+        # measured dead end at the bench envelope, kept for wider graphs
+        # where the R·N backward scatter dominates (PERF.md round 3)
+        self.use_agg_conv = False
 
         self.valid_metrics = BootstrappedBinaryMetrics(prefix="val_")
         self.test_metrics = BootstrappedBinaryMetrics(prefix="test_")
@@ -285,9 +289,14 @@ class KGEModule(JittedStepsMixin):
             enc_params = tree_cast(enc_params, jnp.bfloat16)
             x = x.astype(jnp.bfloat16)
         enc_kwargs = {}
-        if self.edge_layout == "dst" and batch.src_edges.size:
-            # aggregate-then-transform conv via the shipped src-sorted
-            # copy (ops/aggconv.py). The copy mirrors whatever the
+        if (self.edge_layout == "dst" and batch.src_edges.size
+                and self.use_agg_conv):
+            # OPT-IN aggregate-then-transform conv via the shipped
+            # src-sorted copy (ops/aggconv.py). Measured 15.5-15.8 vs
+            # 14.7 ms/step at the bench envelope (PERF.md round-3
+            # dead-end note) — the (N·R)-keyed forward aggregation costs
+            # more than the backward scatter it removes, so the node
+            # path stays the default. The copy mirrors whatever the
             # primary order sees: fix_edge_id rewrites its relation row
             # identically, and cold-start dropout masks its edges with
             # the same per-node keep draw.
