@@ -1,0 +1,107 @@
+"""Typed-table full-batch KGE training (models/typed.py; VERDICT #9).
+
+``train_kge.py typed_tables=true`` routes here: encode per-type tables
+through the typed RGCN (exact homogeneous parity, tests/test_typed.py),
+score with the standard decoder on the concatenated tables, train
+full-batch with iid corruption, and report the reference's binary test
+metrics. The train split's edges drive both message passing and
+supervision (the reference's own protocol, kge_module.py:109-206)."""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..models.typed import concat_tables, to_typed, typed_encode
+from .metrics import BootstrappedBinaryMetrics
+
+
+def typed_full_train(model, data_module, cfg):
+    tg = data_module.data
+    enc = model.model.encoder
+    dec = model.model.decoder
+    neg_ratio = model.neg_ratio or 1
+
+    # typed view restricted to the train split's message-passing edges
+    class _View:
+        graph = data_module.train_data.graph
+        type_offset = tg.type_offset
+        node_type_of = tg.node_type_of
+
+    typed = to_typed(_View)
+    n = typed.num_nodes
+
+    r1, r2 = jax.random.split(jax.random.PRNGKey(cfg.seed))
+    params = {"encoder": enc.init(r1), "decoder": dec.init(r2)}
+    steps = int(cfg.get("typed_steps", 300)) * max(1, cfg.epochs)
+    tx = optax.chain(optax.clip_by_global_norm(1.0),
+                     optax.adam(model.lr))
+    opt = tx.init(params)
+
+    g = data_module.train_data.graph
+    src = jnp.asarray(g.edge_index[0].astype(np.int32))
+    dst = jnp.asarray(g.edge_index[1].astype(np.int32))
+    rel = jnp.asarray(g.edge_type.astype(np.int32))
+
+    @jax.jit
+    def step(params, opt, rng):
+        def loss_fn(p):
+            z = concat_tables(typed_encode(p["encoder"], typed, enc.dims),
+                              typed.type_names)
+            pos = dec.score(p["decoder"], z, src, dst, rel)
+            r_s, r_d = jax.random.split(rng)
+            ns = jax.random.randint(r_s, (neg_ratio,) + rel.shape, 0, n)
+            nd = jax.random.randint(r_d, (neg_ratio,) + rel.shape, 0, n)
+            neg = dec.score_neg(p["decoder"], z, ns, nd, rel).reshape(-1)
+            pred = jnp.concatenate([pos, neg])
+            gt = jnp.concatenate([jnp.ones_like(pos),
+                                  jnp.zeros_like(neg)])
+            bce = jnp.mean(-(gt * jax.nn.log_sigmoid(pred)
+                             + (1 - gt) * jax.nn.log_sigmoid(-pred)))
+            reg = sum(jnp.mean(v ** 2) for v in
+                      jax.tree_util.tree_leaves(p["decoder"]))
+            return bce + 1e-2 * (jnp.mean(z ** 2) + reg)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt = tx.update(grads, opt, params)
+        return optax.apply_updates(params, updates), opt, loss
+
+    key = jax.random.PRNGKey(cfg.seed + 1)
+    t0 = time.perf_counter()
+    for i in range(steps):
+        key, r = jax.random.split(key)
+        params, opt, loss = step(params, opt, r)
+        if i % 100 == 0 or i == steps - 1:
+            print(f"[typed {i}/{steps}] loss={float(loss):.4f}",
+                  flush=True)
+    print(f"typed full-batch training: {steps} steps in "
+          f"{time.perf_counter() - t0:.1f}s", flush=True)
+
+    # binary test metrics, reference protocol (sampled negatives)
+    z = concat_tables(typed_encode(params["encoder"], typed, enc.dims),
+                      typed.type_names)
+    te = data_module.test_data
+    tsrc = jnp.asarray(te.label_edge_index[0].astype(np.int32))
+    tdst = jnp.asarray(te.label_edge_index[1].astype(np.int32))
+    trel = jnp.asarray(te.label_edge_type.astype(np.int32))
+    pos = np.asarray(dec.score(params["decoder"], z, tsrc, tdst, trel))
+    rng = np.random.default_rng(cfg.seed)
+    negs = []
+    for _ in range(max(1, neg_ratio)):
+        ns = jnp.asarray(rng.integers(0, n, len(pos)).astype(np.int32))
+        nd = jnp.asarray(rng.integers(0, n, len(pos)).astype(np.int32))
+        negs.append(np.asarray(dec.score(params["decoder"], z, ns, nd,
+                                         trel)))
+    neg = np.concatenate(negs)
+    m = BootstrappedBinaryMetrics(prefix="test_")
+    m.update(np.concatenate([pos, neg]),
+             np.concatenate([np.ones_like(pos), np.zeros_like(neg)]))
+    out = m.compute()
+    print("typed-table test metrics:")
+    for k in sorted(out):
+        print(f"  {k}: {out[k]:.6f}")
+    return out

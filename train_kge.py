@@ -32,6 +32,16 @@ def main(cfg):
         seed=cfg.seed)
     model.edge_mapping = data_module.edge_map_index
 
+    if cfg.get("typed_tables", False):
+        # hetero-native typed-table mode (models/typed.py): per-type
+        # feature tables + per-signature edge blocks, full-batch training
+        # on the train split; parity with the homogeneous path is gated
+        # in tests/test_typed.py
+        from biomedkg_tpu.training.typed_train import typed_full_train
+
+        typed_full_train(model, data_module, cfg)
+        return
+
     # device-resident feature table: batches carry node ids only
     if data_module.graph.x is not None:
         data_module.device_features = True
