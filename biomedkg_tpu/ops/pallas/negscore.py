@@ -125,7 +125,10 @@ def _split(v):
 
 def _distance_score(mode, h, t, r_rows):
     """(B,) raw scores. transe: -‖L1n(h) + r − L1n(t)‖₁ (decoder.py:21-38).
-    rotate: -Σ_j |h∘e^{iθ} − t|_j (γ added by the caller)."""
+    rotate: -Σ_j |h∘e^{iθ} − t|_j (γ added by the caller; ``r_rows`` is
+    the slot's PRE-COMPUTED [cos θ | sin θ] rows — the (R, d) table costs
+    R·d transcendentals once per step outside the kernel instead of
+    B·d/2 per chunk in both kernels)."""
     h = h.astype(jnp.float32)
     t = t.astype(jnp.float32)
     r = r_rows.astype(jnp.float32)
@@ -133,7 +136,7 @@ def _distance_score(mode, h, t, r_rows):
         return -jnp.sum(jnp.abs(_l1n(h) + r - _l1n(t)), axis=1)
     h_re, h_im = _split(h)
     t_re, t_im = _split(t)
-    c, s = jnp.cos(r), jnp.sin(r)
+    c, s = _split(r)
     u_re = h_re * c - h_im * s - t_re
     u_im = h_re * s + h_im * c - t_im
     dist = jnp.sqrt(jnp.maximum(u_re ** 2 + u_im ** 2, 1e-12))
@@ -162,7 +165,7 @@ def _distance_bwd(mode, h, t, r_rows, ds_col):
         return dh, dt, -ds * sg
     h_re, h_im = _split(h)
     t_re, t_im = _split(t)
-    c, s = jnp.cos(r), jnp.sin(r)
+    c, s = _split(r)
     rot_re = h_re * c - h_im * s
     rot_im = h_re * s + h_im * c
     u_re, u_im = rot_re - t_re, rot_im - t_im
@@ -418,7 +421,9 @@ def _bwd_call(mode, z, ns, t_rows, rel_ids, rel_emb, ds, nd=None):
     num_chunks, chunks8, n_pad, zb, lo_blocks, tiles = _prep(
         z, ns, rel_ids, block)
     d = z.shape[1]
-    r, dr = rel_emb.shape                       # dr < d for RotatE phases
+    r, dr = rel_emb.shape
+    if mode == "rotate":
+        dr //= 2                  # rel input is [cos|sin]; grad is dθ
     r_pad = _round_up(max(r, 8), 8)
     re = rel_emb.astype(jnp.bfloat16)
     if r_pad != r:
@@ -512,6 +517,15 @@ def _bwd_call(mode, z, ns, t_rows, rel_ids, rel_emb, ds, nd=None):
 
 
 def _make_neg_scores(mode):
+    def _rel_table(rel_emb):
+        if mode == "rotate":
+            # tiny (R, d/2) phase table → [cos | sin] once per step; the
+            # kernels then build per-slot rows with one ohr matmul and do
+            # NO transcendentals over (B, d) chunks
+            return jnp.concatenate([jnp.cos(rel_emb), jnp.sin(rel_emb)],
+                                   axis=1)
+        return rel_emb
+
     @jax.custom_vjp
     def neg_scores(z, ns, nd, rel_ids, rel_emb):
         """Fused scores for (z[ns], rel_emb[rel_ids], z[nd]) triples.
@@ -521,12 +535,13 @@ def _make_neg_scores(mode):
         everything else stays in VMEM.
         """
         t_rows = jnp.take(z, nd, axis=0, mode="clip").astype(jnp.bfloat16)
-        return _fwd_call(mode, z, ns, t_rows, rel_ids, rel_emb)
+        return _fwd_call(mode, z, ns, t_rows, rel_ids, _rel_table(rel_emb))
 
     def _op_fwd(z, ns, nd, rel_ids, rel_emb):
         t_rows = jnp.take(z, nd, axis=0, mode="clip").astype(jnp.bfloat16)
-        scores = _fwd_call(mode, z, ns, t_rows, rel_ids, rel_emb)
-        return scores, (z, ns, nd, rel_ids, rel_emb, t_rows)
+        re_t = _rel_table(rel_emb)
+        scores = _fwd_call(mode, z, ns, t_rows, rel_ids, re_t)
+        return scores, (z, ns, nd, rel_ids, re_t, t_rows)
 
     def _op_bwd(res, ds):
         z, ns, nd, rel_ids, rel_emb, t_rows = res
