@@ -73,7 +73,7 @@ def make_loader(graph, seed=0):
                                  edge_layout="dst")
 
 
-def bench_jax(tg, batches, warmup=2, groups=4, scan_k=16):
+def bench_jax(tg, batches, warmup=2, groups=4, scan_k=32):
     """Fused-execution training throughput: scan_k steps per dispatch
     (the framework's production stepping mode, training/stepping.py)."""
     import jax
@@ -206,7 +206,7 @@ def main():
     tg = build_graph()
     loader = make_loader(tg.graph)
     it = iter(loader)
-    batches = [next(it) for _ in range(16)]
+    batches = [next(it) for _ in range(32)]
 
     # baseline first: keeps the CPU quiet of jax dispatch threads while the
     # reference-equivalent torch step is timed
