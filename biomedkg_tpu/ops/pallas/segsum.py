@@ -193,10 +193,17 @@ def _segsum_kernel_path(data, ids, num_segments, max_windows=MAX_WINDOWS,
     # the output block lives in VMEM for a whole feature-shard pass: shard
     # the feature axis until it fits, or cede to the XLA scatter for node
     # counts beyond what lane-width shards can cover.
+    # Mosaic lane-pads the trailing dim to 128 in VMEM: a narrow output
+    # (e.g. d=8 degree counts) still occupies n_pad×128 lanes — budget on
+    # the PADDED width or large-N narrow calls stack-OOM at compile
+    # (measured: 27.29M requested for a (51712, 8) f32 output)
+    def _padded_bytes(ds):
+        return n_pad * max(ds, 128) * 4
+
     d_shard = d
-    while n_pad * d_shard * 4 > budget and d_shard % 256 == 0:
+    while _padded_bytes(d_shard) > budget and d_shard % 256 == 0:
         d_shard //= 2          # halving a ×256 shard keeps it ×128
-    if n_pad * d_shard * 4 > budget \
+    if _padded_bytes(d_shard) > budget \
             or (d_shard != d and d_shard % 128):
         # Mosaic requires lane-aligned (×128) trailing block dims unless
         # the block spans the whole axis — cede rather than crash

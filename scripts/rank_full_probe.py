@@ -52,7 +52,6 @@ def main():
     print(f"graph {n} nodes; test triples {len(test_triples)} ×2 dirs; "
           f"filter set {len(all_triples)}", flush=True)
 
-    fg = FullGraphLoader(dm.test_data.graph).batch()
     for dec_name in decoders:
         module = KGEModule(
             encoder_name="rgcn", decoder_name=dec_name, in_dim=768,
@@ -79,6 +78,10 @@ def main():
         print(f"[{dec_name}] 200-step warm train {float(loss):.4f} "
               f"({time.perf_counter() - t0:.0f}s)", flush=True)
 
+        # full-graph encode in RELATION layout (rank_eval.py's path): the
+        # training loaders stay dst
+        module.edge_layout = "relation"
+        fg = FullGraphLoader(dm.test_data.graph).batch()
         t0 = time.perf_counter()
         z = np.asarray(module.encode(state.params, fg))[:n]
         t_enc = time.perf_counter() - t0
