@@ -258,8 +258,13 @@ class GRACEModule(BaseGCL):
         h1 = self.model.project(params["model"], z1)
         h2 = self.model.project(params["model"], z2)
         n = h1.shape[0]
-        block = next((b for b in (1024, 512, 256, 128)
-                      if n >= 2048 and n % b == 0), 0)
+        # largest sublane-aligned divisor ≤ 1024: small tiles multiply
+        # lax.scan step overhead (6272 = 2⁷·7² picked 128 → 49 steps ×
+        # 2 directions; 896 → 7 steps)
+        block = 0
+        if n >= 2048:
+            block = max((b for b in range(8, 1025, 8) if n % b == 0),
+                        default=0)
         return infonce_intraview_loss(h1, h2, batch.node_mask, block=block)
 
 
