@@ -38,6 +38,19 @@ def _tail_take(z, tail, tail_sorted):
             else take_rows(z, tail))
 
 
+def _head_take(z, head, head_perm):
+    """Head-row gather; with ``head_perm=(src_pos, s2)`` (the dst
+    batch's (src, rel)-lexsorted copy) the backward permutes the gradient
+    into src-sorted order and reduces on the Pallas sorted kernel instead
+    of the unsorted head scatter (0.48 ms/step in the round-2 trace)."""
+    if head_perm is not None:
+        from ..ops.segment import take_rows_via_perm
+
+        src_pos, s2 = head_perm
+        return take_rows_via_perm(z, head, src_pos, s2, 2)
+    return take_rows(z, head)
+
+
 class _Decoder:
     def __init__(self, num_relations: int, hidden_channels: int):
         self.num_relations = num_relations
@@ -109,8 +122,9 @@ class TransE(_Decoder):
         r = take_rows_matbwd(params["rel_emb"], rel).astype(z.dtype)
         return -jnp.sum(jnp.abs(h + r - t), axis=-1).astype(jnp.float32)
 
-    def score(self, params, z, head, tail, rel, tail_sorted=False):
-        h = self._l1_normalize(take_rows(z, head))
+    def score(self, params, z, head, tail, rel, tail_sorted=False,
+              head_perm=None):
+        h = self._l1_normalize(_head_take(z, head, head_perm))
         t = self._l1_normalize(_tail_take(z, tail, tail_sorted))
         r = take_rows_matbwd(params["rel_emb"], rel)
         return -jnp.sum(jnp.abs(h + r - t), axis=-1)
@@ -177,8 +191,9 @@ class DistMult(_Decoder):
                                 dtype=rel.dtype)[None, :])
         return jnp.sum(all_rel * onehot, axis=-1)
 
-    def score(self, params, z, head, tail, rel, tail_sorted=False):
-        h = take_rows(z, head)
+    def score(self, params, z, head, tail, rel, tail_sorted=False,
+              head_perm=None):
+        h = _head_take(z, head, head_perm)
         t = _tail_take(z, tail, tail_sorted)
         r = take_rows_matbwd(params["rel_emb"], rel)
         return jnp.sum(h * r * t, axis=-1)
@@ -241,8 +256,9 @@ class ComplEx(_Decoder):
                                 dtype=rel.dtype)[None, :])
         return jnp.sum(all_rel * onehot, axis=-1)
 
-    def score(self, params, z, head, tail, rel, tail_sorted=False):
-        h_re, h_im = self._chunk(take_rows(z, head))
+    def score(self, params, z, head, tail, rel, tail_sorted=False,
+              head_perm=None):
+        h_re, h_im = self._chunk(_head_take(z, head, head_perm))
         t_re, t_im = self._chunk(_tail_take(z, tail, tail_sorted))
         r_re, r_im = self._chunk(take_rows_matbwd(params["rel_emb"], rel))
         s = (h_re * r_re - h_im * r_im) * t_re
@@ -301,8 +317,8 @@ class RotatE(_Decoder):
             (rot_re - t_re) ** 2 + (rot_im - t_im) ** 2, 1e-12))
         return self.gamma - jnp.sum(dist, axis=-1)
 
-    def _rotated(self, params, z, head, rel):
-        h_re, h_im = self._chunk(take_rows(z, head))
+    def _rotated(self, params, z, head, rel, head_perm=None):
+        h_re, h_im = self._chunk(_head_take(z, head, head_perm))
         theta = take_rows_matbwd(params["rel_emb"], rel)
         c, s = jnp.cos(theta), jnp.sin(theta)
         return h_re * c - h_im * s, h_re * s + h_im * c
@@ -335,8 +351,9 @@ class RotatE(_Decoder):
             (rot_re - t_re) ** 2 + (rot_im - t_im) ** 2, 1e-12))
         return (self.gamma - jnp.sum(dist, axis=-1)).astype(jnp.float32)
 
-    def score(self, params, z, head, tail, rel, tail_sorted=False):
-        rot_re, rot_im = self._rotated(params, z, head, rel)
+    def score(self, params, z, head, tail, rel, tail_sorted=False,
+              head_perm=None):
+        rot_re, rot_im = self._rotated(params, z, head, rel, head_perm)
         t_re, t_im = self._chunk(_tail_take(z, tail, tail_sorted))
         dist = jnp.sqrt(jnp.maximum(
             (rot_re - t_re) ** 2 + (rot_im - t_im) ** 2, 1e-12))

@@ -72,6 +72,14 @@ class RGCN:
         # sorted segment-sum (ops/pallas/segsum.py) and the conv is forced
         # node-centric (no single-relation blocks exist in this layout).
         self.edge_layout = "relation"
+        # dst-layout backward for the h_all gather transpose:
+        #   "scatter" — XLA scatter at the unsorted rel·N+src keys
+        #   "perm"    — permute grads via the shipped (src, rel)-lexsorted
+        #               copy, then Pallas sorted segment-sum
+        #               (ops/segment.take_rows_via_perm)
+        #   "agg"     — aggregate-then-transform conv (ops/aggconv.py;
+        #               measured dead end at the bench envelope, PERF.md)
+        self.dst_bwd = "scatter"
 
     def init(self, rng) -> dict:
         layers = []
@@ -123,7 +131,7 @@ class RGCN:
         return jnp.sum(jnp.where(ohr, rows, 0.0), axis=1)
 
     def _conv(self, lp, x, edge_index, edge_type, edge_mask, block_rel,
-              norm):
+              norm, perm=None):
         src, dst = edge_index[0], edge_index[1]
         num_nodes = x.shape[0]
         num_edges = edge_type.shape[0]
@@ -133,7 +141,24 @@ class RGCN:
                     else "edge")
         if self.edge_layout == "dst":
             impl = "node"
-        if impl == "node":
+        if impl == "node" and perm is not None:
+            # R dense MXU matmuls in (N, R, dout) layout so the flat key
+            # src·R + rel matches the shipped (src, rel)-lexsorted copy;
+            # the gather's backward permutes grads into that order and
+            # reduces on the sorted Pallas kernel (take_rows_via_perm)
+            # instead of XLA's unsorted (R·N)-keyed scatter
+            src_pos, key2 = perm
+            from ..ops.segment import take_rows_via_perm
+
+            h_all = jnp.einsum("nd,rdk->nrk", x, lp["w_rel"],
+                               preferred_element_type=jnp.float32
+                               ).astype(x.dtype)
+            flat = src * self.num_relations + edge_type.astype(jnp.int32)
+            h = take_rows_via_perm(
+                h_all.reshape(-1, h_all.shape[-1]), flat, src_pos, key2,
+                3, 13 * 1024 * 1024)
+            h = h * edge_mask[:, None].astype(h.dtype)
+        elif impl == "node":
             # R dense (N, din) @ (din, dout) MXU matmuls, then a width-dout
             # gather at flat index rel·N + src.
             h_all = jnp.einsum("nd,rdk->rnk", x, lp["w_rel"],
@@ -158,7 +183,7 @@ class RGCN:
 
     def apply(self, params, x, edge_index, edge_type, edge_mask, block_rel,
               *, rng: Optional[jax.Array] = None, training: bool = False,
-              src_edges=None):
+              src_edges=None, src_pos=None):
         edge_index = edge_index.astype(jnp.int32)
         edge_type = edge_type.astype(jnp.int32)
         block_rel = block_rel.astype(jnp.int32)
@@ -166,7 +191,7 @@ class RGCN:
         num_nodes = x.shape[0]
 
         if (self.edge_layout == "dst" and src_edges is not None
-                and src_edges.size):
+                and src_edges.size and self.dst_bwd == "agg"):
             # aggregate-then-transform conv (ops/aggconv.py): both SpMM
             # scatters sorted — forward over the (dst, rel)-lexsorted
             # primary order, backward over the shipped src-sorted copy
@@ -210,18 +235,26 @@ class RGCN:
                     x = nn.dropout(sub, x, 0.2, deterministic=not training)
             return conv_agg(layers[-1], x)
 
+        perm = None
+        if (self.edge_layout == "dst" and self.dst_bwd == "perm"
+                and src_edges is not None and src_edges.size
+                and src_pos is not None and src_pos.size):
+            se = src_edges.astype(jnp.int32)
+            key2 = se[0] * self.num_relations + se[2]
+            perm = (src_pos.astype(jnp.int32), key2)
+
         conv = jax.checkpoint(self._conv) if self.remat else self._conv
         norm = self._edge_norm(edge_index, edge_type, edge_mask, x.shape[0])
         for i, lp in enumerate(layers[:-1]):
             x = jax.nn.relu(
                 conv(lp, x, edge_index, edge_type, edge_mask, block_rel,
-                     norm))
+                     norm, perm))
             if self.drop_out:
                 rng, sub = (jax.random.split(rng) if rng is not None
                             else (None, None))
                 x = nn.dropout(sub, x, 0.2, deterministic=not training)
         return conv(layers[-1], x, edge_index, edge_type, edge_mask,
-                    block_rel, norm)
+                    block_rel, norm, perm)
 
 
 class RGAT:

@@ -40,11 +40,16 @@ class GraphBatch(NamedTuple):
     block_rel: np.ndarray    # (E_pad // block_size,) int32
     num_seed: np.ndarray     # () int32 — seed nodes occupy rows [0, num_seed)
     node_ids: np.ndarray     # (N_pad,) int32 global node ids (pad slots: 0)
-    # dst-layout batches also carry a SRC-SORTED copy of the edges —
-    # (4, E_pad) rows [src (ascending), dst, rel, mask] — so the conv
-    # backward's dx scatter runs on the sorted Pallas kernel too (the
-    # CSR/CSC transpose pair; ops/aggconv.py). Empty (0,) otherwise.
+    # dst-layout batches also carry a (src, rel)-LEXSORTED copy of the
+    # edges — (4, E_pad) rows [src (ascending), dst, rel, mask] — so
+    # src-keyed backward scatters run on the sorted Pallas kernel too
+    # (the CSR/CSC transpose pair; ops/aggconv.py, ops/segment.py
+    # take_rows_via_perm). Empty (0,) otherwise.
     src_edges: np.ndarray = np.zeros(0, np.int16)
+    # position of each copy edge in the PRIMARY (dst-sorted) order —
+    # the backward's (E, d) gradient permutation; pads point at primary
+    # pad slots (zero gradients). Empty (0,) otherwise.
+    src_pos: np.ndarray = np.zeros(0, np.int32)
 
     @property
     def num_nodes(self) -> int:
@@ -145,21 +150,27 @@ def pad_graph_batch(
             et[num_edges:] = et[num_edges - 1]
         block_rel = np.zeros(edge_budget // block_size, dtype=rel_dt)
 
-        # src-sorted transpose copy (see GraphBatch.src_edges)
-        sdt = np.int16 if max(node_budget, num_relations) < 2**15             else np.int32
+        # (src, rel)-lexsorted transpose copy (see GraphBatch.src_edges):
+        # both s2 and the flat key s2·R + rel2 are ascending
+        sdt = np.int16 if max(node_budget, num_relations) < 2**15 \
+            else np.int32
         src_edges = np.zeros((4, edge_budget), dtype=sdt)
+        src_pos = np.full(edge_budget, edge_budget - 1, np.int32)
         if num_edges:
-            o2 = np.argsort(edge_index[0, order], kind="stable")
-            src_edges[0, :num_edges] = edge_index[0, order][o2]
-            src_edges[1, :num_edges] = edge_index[1, order][o2]
-            src_edges[2, :num_edges] = edge_type[order][o2]
+            o2 = np.lexsort((et[:num_edges], ei[0, :num_edges]))
+            src_edges[0, :num_edges] = ei[0, :num_edges][o2]
+            src_edges[1, :num_edges] = ei[1, :num_edges][o2]
+            src_edges[2, :num_edges] = et[:num_edges][o2]
             src_edges[3, :num_edges] = 1
             src_edges[0, num_edges:] = src_edges[0, num_edges - 1]
             src_edges[1, num_edges:] = src_edges[1, num_edges - 1]
             src_edges[2, num_edges:] = src_edges[2, num_edges - 1]
+            src_pos[:num_edges] = o2
+            # pads keep edge_budget-1: a primary PAD slot (zero grad)
+            # whenever pads exist at all (num_edges < edge_budget)
         return _finish_batch(x, num_nodes, node_budget, node_ids, num_seed,
                              ei, et, emask, block_rel,
-                             src_edges=src_edges)
+                             src_edges=src_edges, src_pos=src_pos)
 
     # Relation-sorted placement with per-segment block padding.
     order = np.argsort(edge_type, kind="stable")
@@ -208,7 +219,7 @@ def pad_graph_batch(
 
 def _finish_batch(x, num_nodes, node_budget, node_ids, num_seed,
                   ei, et, emask, block_rel,
-                  src_edges=None) -> GraphBatch:
+                  src_edges=None, src_pos=None) -> GraphBatch:
     # Node padding: zero feature rows; last row is the dummy sink.
     if x is not None:
         feat_shape = (node_budget,) + x.shape[1:]
@@ -233,4 +244,6 @@ def _finish_batch(x, num_nodes, node_budget, node_ids, num_seed,
         node_ids=ids,
         src_edges=(src_edges if src_edges is not None
                    else np.zeros(0, np.int16)),
+        src_pos=(src_pos if src_pos is not None
+                 else np.zeros(0, np.int32)),
     )

@@ -142,10 +142,6 @@ class KGEModule(JittedStepsMixin):
         assert neg_sampler in ("sorted", "iid"), neg_sampler
         self._neg_sampler = neg_sampler
         self._edge_index_map: Dict[int, str] = {}
-        # opt-in aggregate-then-transform conv (ops/aggconv.py) — a
-        # measured dead end at the bench envelope, kept for wider graphs
-        # where the R·N backward scatter dominates (PERF.md round 3)
-        self.use_agg_conv = False
 
         self.valid_metrics = BootstrappedBinaryMetrics(prefix="val_")
         self.test_metrics = BootstrappedBinaryMetrics(prefix="test_")
@@ -205,6 +201,24 @@ class KGEModule(JittedStepsMixin):
                 f"relation-blocked batches (layout='relation')")
         self.model.encoder.edge_layout = value
         self._jit_cache.clear()
+
+    @property
+    def dst_bwd(self) -> str:
+        return getattr(self.model.encoder, "dst_bwd", "scatter")
+
+    @dst_bwd.setter
+    def dst_bwd(self, value: str):
+        assert value in ("scatter", "perm", "agg"), value
+        self.model.encoder.dst_bwd = value
+        self._jit_cache.clear()
+
+    @property
+    def use_agg_conv(self) -> bool:  # back-compat alias
+        return self.dst_bwd == "agg"
+
+    @use_agg_conv.setter
+    def use_agg_conv(self, value: bool):
+        self.dst_bwd = "agg" if value else "scatter"
 
     @property
     def neg_sampler(self) -> str:
@@ -290,16 +304,14 @@ class KGEModule(JittedStepsMixin):
             x = x.astype(jnp.bfloat16)
         enc_kwargs = {}
         if (self.edge_layout == "dst" and batch.src_edges.size
-                and self.use_agg_conv):
-            # OPT-IN aggregate-then-transform conv via the shipped
-            # src-sorted copy (ops/aggconv.py). Measured 15.5-15.8 vs
-            # 14.7 ms/step at the bench envelope (PERF.md round-3
-            # dead-end note) — the (N·R)-keyed forward aggregation costs
-            # more than the backward scatter it removes, so the node
-            # path stays the default. The copy mirrors whatever the
-            # primary order sees: fix_edge_id rewrites its relation row
-            # identically, and cold-start dropout masks its edges with
-            # the same per-node keep draw.
+                and self.dst_bwd != "scatter"):
+            # src-keyed-backward variants via the shipped
+            # (src, rel)-lexsorted copy — "perm" (take_rows_via_perm:
+            # sorted-kernel gradient reduction) or "agg" (ops/aggconv.py;
+            # measured dead end at the bench envelope, PERF.md). The copy
+            # mirrors whatever the primary order sees: fix_edge_id
+            # rewrites its relation row identically, and cold-start
+            # dropout masks its edges with the same per-node keep draw.
             se = batch.src_edges.astype(jnp.int32)
             if self._fix_edge_id is not None:
                 se = se.at[2].set(self._fix_edge_id)
@@ -308,6 +320,7 @@ class KGEModule(JittedStepsMixin):
                       * jnp.take(keep, se[1], mode="clip"))
                 se = se.at[3].set(se[3] * k2.astype(se.dtype))
             enc_kwargs["src_edges"] = se
+            enc_kwargs["src_pos"] = batch.src_pos
         z = self.model.encoder.apply(enc_params, x, batch.edge_index, etype,
                                      conv_mask, block_rel, rng=r_enc,
                                      training=training, **enc_kwargs)
@@ -315,9 +328,15 @@ class KGEModule(JittedStepsMixin):
 
         src, dst = batch.edge_index[0], batch.edge_index[1]
         emask = batch.edge_mask
+        pos_kwargs = {}
+        if "src_edges" in enc_kwargs and self.dst_bwd == "perm":
+            # head-grad scatter → permuted sorted reduction (decoders
+            # _head_take); s2 is the copy's sorted source column
+            pos_kwargs["head_perm"] = (batch.src_pos.astype(jnp.int32),
+                                       enc_kwargs["src_edges"][0])
         pos_pred = self.model.decode(
             params["model"], z, src, dst, etype,
-            tail_sorted=self.edge_layout == "dst")
+            tail_sorted=self.edge_layout == "dst", **pos_kwargs)
 
         # --- on-device negative sampling (kge_module.py:86-102) ---
         # Negatives are K = neg_ratio corruption sets of shape (K, E) whose

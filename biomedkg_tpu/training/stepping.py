@@ -51,7 +51,8 @@ class JittedStepsMixin:
             edge_type=batch.edge_type.astype(jnp.int32),
             block_rel=batch.block_rel.astype(jnp.int32),
             node_ids=batch.node_ids.astype(jnp.int32),
-            src_edges=batch.src_edges.astype(jnp.int32))
+            src_edges=batch.src_edges.astype(jnp.int32),
+            src_pos=batch.src_pos.astype(jnp.int32))
 
     def _batch_features(self, batch):
         if batch.x.size == 0:  # static shape → python-level branch

@@ -15,7 +15,8 @@ import bench  # noqa: E402
 
 
 def probe(tg, batches, neg_sampler, compute_dtype, scan_k=8, groups=4,
-          edge_layout="relation", label="", decoder="dismult"):
+          edge_layout="relation", label="", decoder="dismult",
+          dst_bwd="scatter"):
     import jax
 
     from biomedkg_tpu.parallel.dp import stack_batches
@@ -29,6 +30,8 @@ def probe(tg, batches, neg_sampler, compute_dtype, scan_k=8, groups=4,
         node_init_method="random", compute_dtype=compute_dtype)
     module.neg_sampler = neg_sampler
     module.edge_layout = edge_layout
+    if edge_layout == "dst":
+        module.dst_bwd = dst_bwd
     module.configure_optimizers(num_training_steps=10_000)
     rng = jax.random.PRNGKey(0)
     state = module.init_state(rng)
@@ -49,7 +52,8 @@ def probe(tg, batches, neg_sampler, compute_dtype, scan_k=8, groups=4,
     ms = dt / (groups * scan_k) * 1e3
     tps = groups * edges * (1 + bench.NEG_RATIO) / dt
     print(f"{label:>6s} {decoder:>8s} {neg_sampler:>7s}/"
-          f"{compute_dtype:<9s}/{edge_layout:<8s}: {ms:7.2f} ms/step  "
+          f"{compute_dtype:<9s}/{edge_layout:<8s}/{dst_bwd:<7s}: "
+          f"{ms:7.2f} ms/step  "
           f"{tps/1e6:7.2f} M triplets/s   loss={lv:.4f}", flush=True)
 
 
@@ -94,9 +98,10 @@ def main():
                 scan_k = int(part[1:])
             if part in ("complex", "transe", "rotate"):
                 decoder = part
+        dst_bwd = "perm" if "perm" in v.split("_") else "scatter"
         probe(tg, get_batches(layout, bs), sampler, dtype,
               edge_layout=layout, label=f"b{bs}", scan_k=scan_k,
-              decoder=decoder)
+              decoder=decoder, dst_bwd=dst_bwd)
 
 
 if __name__ == "__main__":

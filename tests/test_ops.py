@@ -684,3 +684,58 @@ def test_agg_conv_matches_node_path(rng):
                     jax.tree_util.tree_leaves(gp0)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_perm_bwd_conv_matches_scatter_path(rng):
+    """dst_bwd="perm" (take_rows_via_perm: gradient permutation via the
+    shipped (src, rel)-lexsorted copy + sorted segment-sum) == plain
+    scatter backward: values AND grads."""
+    import jax
+
+    from biomedkg_tpu.models.encoders import RGCN
+    from biomedkg_tpu.sampling.batch import pad_graph_batch
+
+    N, E, R, D = 50, 300, 4, 16
+    x = rng.standard_normal((N, D)).astype(np.float32)
+    ei = rng.integers(0, N, (2, E)).astype(np.int64)
+    et = rng.integers(0, R, E).astype(np.int32)
+    batch = pad_graph_batch(x, ei, et, num_relations=R, node_budget=64,
+                            edge_budget=512, block_size=64, layout="dst")
+    se = batch.src_edges.astype(np.int32)
+    key2 = se[0] * R + se[2]
+    assert (np.diff(key2[: E]) >= 0).all(), "copy must be (src,rel)-sorted"
+    # src_pos maps copy order -> primary order for real edges
+    prim_src = batch.edge_index[0].astype(np.int32)
+    real = batch.src_edges[3].astype(bool)
+    np.testing.assert_array_equal(prim_src[batch.src_pos[real]],
+                                  se[0][real])
+
+    enc = RGCN(in_dim=D, hidden_dim=D, out_dim=D, num_hidden_layers=1,
+               num_relations=R, drop_out=False)
+    enc.edge_layout = "dst"
+    params = enc.init(jax.random.PRNGKey(0))
+
+    def loss(p, xx, mode):
+        enc.dst_bwd = mode
+        z = enc.apply(p, xx, batch.edge_index.astype(np.int32),
+                      batch.edge_type.astype(np.int32), batch.edge_mask,
+                      batch.block_rel.astype(np.int32),
+                      src_edges=batch.src_edges, src_pos=batch.src_pos)
+        w = np.cos(np.arange(z.shape[0] * z.shape[1])).reshape(z.shape)
+        return jnp.sum(z * w)
+
+    outs = {}
+    for mode in ("scatter", "perm"):
+        v, (gp, gx) = jax.value_and_grad(
+            lambda p, xx: loss(p, xx, mode), (0, 1))(
+                params, jnp.asarray(batch.x))
+        outs[mode] = (float(v), gp, gx)
+    enc.dst_bwd = "scatter"
+    assert abs(outs["perm"][0] - outs["scatter"][0]) < 1e-4
+    np.testing.assert_allclose(np.asarray(outs["perm"][2]),
+                               np.asarray(outs["scatter"][2]),
+                               rtol=1e-4, atol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(outs["perm"][1]),
+                    jax.tree_util.tree_leaves(outs["scatter"][1])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)

@@ -50,3 +50,49 @@ def test_trainer_steps_per_execution_matches_per_step_count():
     assert trainer.global_step == 8
     assert int(trainer.state.step) == 8
     assert np.isfinite(trainer.history[0]["train_loss_epoch"])
+
+
+def test_dst_bwd_perm_whole_step_parity():
+    """dst_bwd="perm" (sorted-kernel gradient reduction via the shipped
+    copy, encoder h_all + pos-path head) must reproduce the scatter
+    path's loss and grads on a full KGE forward/backward."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from biomedkg_tpu.sampling.batch import pad_graph_batch
+    from biomedkg_tpu.training.kge_module import KGEModule
+
+    rng = np.random.default_rng(0)
+    N, E, R, D = 60, 400, 4, 16
+    x = rng.standard_normal((N, D)).astype(np.float32)
+    ei = rng.integers(0, N, (2, E)).astype(np.int64)
+    et = rng.integers(0, R, E).astype(np.int32)
+    batch = pad_graph_batch(x, ei, et, num_relations=R, node_budget=64,
+                            edge_budget=512, block_size=64, layout="dst")
+
+    mod = KGEModule(encoder_name="rgcn", decoder_name="dismult", in_dim=D,
+                    hidden_dim=32, out_dim=16, num_hidden_layers=1,
+                    num_relation=R, num_heads=2, scheduler_type="cosine",
+                    learning_rate=1e-3, warm_up_ratio=0.1,
+                    fuse_method="none", neg_ratio=4,
+                    node_init_method="random")
+    mod.edge_layout = "dst"
+    params = mod.init(jax.random.PRNGKey(0))
+    key = jax.random.PRNGKey(1)
+
+    outs = {}
+    for mode in ("scatter", "perm"):
+        mod.dst_bwd = mode
+
+        def loss_fn(p):
+            loss, _ = mod._forward_loss(p, batch, key, training=True)
+            return loss
+
+        v, g = jax.value_and_grad(loss_fn)(params)
+        outs[mode] = (float(v), g)
+    assert abs(outs["perm"][0] - outs["scatter"][0]) < 1e-5
+    for a, b in zip(jax.tree_util.tree_leaves(outs["perm"][1]),
+                    jax.tree_util.tree_leaves(outs["scatter"][1])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-6)
