@@ -125,3 +125,43 @@ def concat_tables(tables: Dict[str, jax.Array],
     """Typed tables → homogeneous (N, d) in global type-offset order (the
     contract the decoders/evaluators consume)."""
     return jnp.concatenate([tables[t] for t in type_names], axis=0)
+
+
+def typed_encode_batch(params, batch, *, rng=None, training=False,
+                       drop_out=False):
+    """RGCN forward over one padded TypedBatch
+    (sampling/typed_batch.py): per-type tables, per-signature masked
+    edge blocks, per-batch (dst, rel) mean normalization — the
+    sub-batch counterpart of ``typed_encode`` (exact homogeneous-RGCN
+    parity on the induced subgraph, tests/test_typed.py)."""
+    from ..sampling.typed_batch import parse_sig
+    from .. import nn as _nn
+
+    xs = {t: jnp.asarray(v) for t, v in batch.x.items()}
+    layers = params["layers"]
+    for li, lp in enumerate(layers):
+        out = {t: jnp.dot(x, lp["w_root"],
+                          preferred_element_type=jnp.float32
+                          ).astype(x.dtype) + lp["b"]
+               for t, x in xs.items()}
+        for key, blk in batch.sigs.items():
+            s_t, r, t_t = parse_sig(key)
+            sl, dl, m = blk[0], blk[1], blk[2]
+            msg = jnp.take(xs[s_t], sl, axis=0, mode="clip")
+            msg = jnp.dot(msg, lp["w_rel"][r],
+                          preferred_element_type=jnp.float32
+                          ).astype(msg.dtype)
+            msg = msg * m[:, None].astype(msg.dtype)
+            agg = jax.ops.segment_sum(msg, dl,
+                                      num_segments=xs[t_t].shape[0])
+            cnt = jnp.asarray(batch.counts[t_t][:, r])
+            out[t_t] = out[t_t] + agg / jnp.maximum(cnt, 1.0)[:, None]
+        if li < len(layers) - 1:
+            out = {t: jax.nn.relu(v) for t, v in out.items()}
+            if drop_out:
+                for t in sorted(out):
+                    rng, sub = jax.random.split(rng)
+                    out[t] = _nn.dropout(sub, out[t], 0.2,
+                                         deterministic=not training)
+        xs = out
+    return xs

@@ -16,7 +16,8 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from ..models.typed import concat_tables, to_typed, typed_encode
+from ..models.typed import (concat_tables, to_typed, typed_encode,
+                            typed_encode_batch)
 from .metrics import BootstrappedBinaryMetrics
 
 
@@ -81,7 +82,15 @@ def typed_full_train(model, data_module, cfg):
     print(f"typed full-batch training: {steps} steps in "
           f"{time.perf_counter() - t0:.1f}s", flush=True)
 
-    # binary test metrics, reference protocol (sampled negatives)
+    return _typed_binary_test(params, typed, enc, dec, data_module,
+                              neg_ratio, cfg.seed)
+
+
+def _typed_binary_test(params, typed, enc, dec, data_module, neg_ratio,
+                       seed):
+    """Binary test metrics, reference protocol (sampled negatives),
+    scored on the full-graph typed encode."""
+    n = typed.num_nodes
     z = concat_tables(typed_encode(params["encoder"], typed, enc.dims),
                       typed.type_names)
     te = data_module.test_data
@@ -89,7 +98,7 @@ def typed_full_train(model, data_module, cfg):
     tdst = jnp.asarray(te.label_edge_index[1].astype(np.int32))
     trel = jnp.asarray(te.label_edge_type.astype(np.int32))
     pos = np.asarray(dec.score(params["decoder"], z, tsrc, tdst, trel))
-    rng = np.random.default_rng(cfg.seed)
+    rng = np.random.default_rng(seed)
     negs = []
     for _ in range(max(1, neg_ratio)):
         ns = jnp.asarray(rng.integers(0, n, len(pos)).astype(np.int32))
@@ -105,3 +114,90 @@ def typed_full_train(model, data_module, cfg):
     for k in sorted(out):
         print(f"  {k}: {out[k]:.6f}")
     return out
+
+
+def typed_saint_train(model, data_module, cfg):
+    """Typed-table SAINT sub-batch training (ROADMAP #7):
+    ``train_kge.py typed_tables=true typed_loader=saint``.
+
+    The reference's GraphSAINT regime (random-walk roots, induced
+    subgraph, batch edges as both message passing and supervision,
+    data_module.py:100-107) over the hetero-native layout: every batch
+    is per-type tables + per-signature single-relation edge blocks in
+    ONE static envelope, so a single compiled step serves the run. Test
+    metrics are computed on the full-graph typed encode, identical to
+    the full-batch path."""
+    from ..sampling.typed_batch import TypedSaintSampler
+
+    tg = data_module.data
+    enc = model.model.encoder
+    dec = model.model.decoder
+    neg_ratio = model.neg_ratio or 1
+
+    sampler = TypedSaintSampler(
+        data_module.train_data.graph, tg.node_type_of, tg.node_type_names,
+        batch_size=data_module.batch_size,
+        walk_length=data_module.SAINT_WALK_LENGTH,
+        num_steps=int(cfg.get("typed_steps", 300)),
+        seed=cfg.seed,
+        sig_graph=data_module._probe_graph())
+
+    r1, r2 = jax.random.split(jax.random.PRNGKey(cfg.seed))
+    params = {"encoder": enc.init(r1), "decoder": dec.init(r2)}
+    tx = optax.chain(optax.clip_by_global_norm(1.0),
+                     optax.adam(model.lr))
+    opt = tx.init(params)
+
+    @jax.jit
+    def step(params, opt, rng, batch, flat_real, n_real):
+        def loss_fn(p):
+            tables = typed_encode_batch(p["encoder"], batch)
+            z = concat_tables(tables, list(batch.x.keys()))
+            src, dst, rel = batch.pos[0], batch.pos[1], batch.pos[2]
+            w = batch.pos[3].astype(jnp.float32)
+            pos = dec.score(p["decoder"], z, src, dst, rel)
+            r_s, r_d = jax.random.split(rng)
+            shape = (neg_ratio,) + rel.shape
+            js = jax.random.randint(r_s, shape, 0, n_real)
+            jd = jax.random.randint(r_d, shape, 0, n_real)
+            neg = dec.score_neg(p["decoder"], z, flat_real[js],
+                                flat_real[jd], rel)
+            # masked BCE over the pos+neg concat (same element weighting
+            # as the full-batch path / KGEModule)
+            wsum = jnp.maximum(w.sum(), 1.0) * (1 + neg_ratio)
+            bce = (jnp.sum(-jax.nn.log_sigmoid(pos) * w)
+                   + jnp.sum(-jax.nn.log_sigmoid(-neg) * w[None, :])) / wsum
+            reg = sum(jnp.mean(v ** 2) for v in
+                      jax.tree_util.tree_leaves(p["decoder"]))
+            return bce + 1e-2 * (jnp.mean(z ** 2) + reg)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt = tx.update(grads, opt, params)
+        return optax.apply_updates(params, updates), opt, loss
+
+    key = jax.random.PRNGKey(cfg.seed + 1)
+    t0 = time.perf_counter()
+    n_steps = 0
+    for epoch in range(max(1, cfg.epochs)):
+        sampler.set_epoch(epoch)
+        for batch in sampler:
+            flat, n_real = sampler.flat_real(batch)
+            key, r = jax.random.split(key)
+            params, opt, loss = step(params, opt, r, batch,
+                                     jnp.asarray(flat), n_real)
+            if n_steps % 100 == 0:
+                print(f"[typed-saint {n_steps}] loss={float(loss):.4f}",
+                      flush=True)
+            n_steps += 1
+    print(f"typed SAINT training: {n_steps} steps in "
+          f"{time.perf_counter() - t0:.1f}s "
+          f"(dropped_edges={sampler.dropped_edges})", flush=True)
+
+    class _View:
+        graph = data_module.train_data.graph
+        type_offset = tg.type_offset
+        node_type_of = tg.node_type_of
+
+    typed = to_typed(_View)
+    return _typed_binary_test(params, typed, enc, dec, data_module,
+                              neg_ratio, cfg.seed)

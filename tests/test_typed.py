@@ -101,3 +101,129 @@ def test_typed_tables_train(graph):
         losses.append(float(loss))
     assert losses[-1] < 0.45, losses[-1]
     assert losses[-1] < losses[0] - 0.2
+
+
+def test_typed_saint_batch_matches_homogeneous(graph):
+    """Typed SAINT sub-batch encode (per-type tables + per-signature
+    masked blocks, sampling/typed_batch.py) == homogeneous RGCN on the
+    same induced subgraph."""
+    from biomedkg_tpu.models.typed import typed_encode_batch
+    from biomedkg_tpu.sampling.typed_batch import TypedSaintSampler
+
+    tg = graph
+    g = tg.graph
+    sampler = TypedSaintSampler(g, tg.node_type_of, tg.node_type_names,
+                                batch_size=16, walk_length=4, num_steps=3,
+                                seed=3)
+    nodes, ei, et = sampler._sample_raw(sampler.rng)
+    batch = sampler.split(nodes, ei, et)
+    assert sampler.dropped_edges == 0
+
+    enc = RGCN(in_dim=D, hidden_dim=32, out_dim=16, num_hidden_layers=1,
+               num_relations=g.num_relations, drop_out=False)
+    params = enc.init(jax.random.PRNGKey(0))
+
+    # homogeneous reference on the induced subgraph (batch-local ids)
+    ref = enc.apply(params, jnp.asarray(g.x[nodes]),
+                    jnp.asarray(ei.astype(np.int32)),
+                    jnp.asarray(et.astype(np.int32)),
+                    jnp.ones(et.shape[0], bool),
+                    jnp.zeros(1, jnp.int32), training=False)
+    ref = np.asarray(ref)
+
+    tables = typed_encode_batch(params, batch)
+    t_of = tg.node_type_of[nodes]
+    local = np.zeros(len(nodes), np.int32)
+    for ti in range(len(tg.node_type_names)):
+        sel = t_of == ti
+        local[sel] = np.arange(int(sel.sum()))
+    for i, (ti, li) in enumerate(zip(t_of, local)):
+        t = tg.node_type_names[ti]
+        np.testing.assert_allclose(np.asarray(tables[t])[li], ref[i],
+                                   rtol=2e-4, atol=2e-4,
+                                   err_msg=f"node {i} type {t}")
+
+    # supervision edges point at the right batch-global rows
+    from biomedkg_tpu.models.typed import concat_tables
+    z = np.asarray(concat_tables(tables, list(batch.x.keys())))
+    base = {t: sampler.type_base[t] for t in sampler.type_names}
+    for j in range(et.shape[0]):
+        sbg = base[tg.node_type_names[t_of[ei[0, j]]]] + local[ei[0, j]]
+        np.testing.assert_allclose(z[sbg], ref[ei[0, j]], rtol=2e-4,
+                                   atol=2e-4)
+        assert batch.pos[2, j] == et[j]
+    assert int(batch.pos[3].sum()) == et.shape[0]
+
+
+def test_typed_saint_envelope_static_and_trains(graph):
+    """Every typed SAINT batch shares one pytree structure (single
+    compiled step), negatives draw only real batch rows, and a short
+    run learns."""
+    import optax
+
+    from biomedkg_tpu.models.typed import concat_tables, typed_encode_batch
+    from biomedkg_tpu.sampling.typed_batch import TypedSaintSampler
+
+    tg = graph
+    g = tg.graph
+    sampler = TypedSaintSampler(g, tg.node_type_of, tg.node_type_names,
+                                batch_size=24, walk_length=6,
+                                num_steps=40, seed=0)
+    shapes = None
+    for batch in sampler:
+        s = jax.tree_util.tree_map(lambda a: np.shape(a), batch)
+        if shapes is None:
+            shapes = s
+        assert s == shapes
+        flat, n_real = sampler.flat_real(batch)
+        assert flat.shape == (sampler.total_budget,)
+        # every flat entry is a REAL batch-global row
+        for t in sampler.type_names:
+            lo = sampler.type_base[t]
+            hi = lo + int(batch.num_nodes[t])
+            inside = (flat >= lo) & (flat < lo + sampler.node_budget[t])
+            assert (flat[inside] < hi).all()
+        break
+
+    enc = RGCN(in_dim=D, hidden_dim=48, out_dim=24, num_hidden_layers=1,
+               num_relations=g.num_relations, drop_out=False)
+    dec = DistMult(g.num_relations, 24)
+    r1, r2 = jax.random.split(jax.random.PRNGKey(0))
+    params = {"encoder": enc.init(r1), "decoder": dec.init(r2)}
+    tx = optax.adam(1e-2)
+    opt = tx.init(params)
+
+    @jax.jit
+    def step(params, opt, rng, batch, flat_real, n_real):
+        def loss_fn(p):
+            tables = typed_encode_batch(p["encoder"], batch)
+            z = concat_tables(tables, list(batch.x.keys()))
+            src, dst, rel = batch.pos[0], batch.pos[1], batch.pos[2]
+            w = batch.pos[3].astype(jnp.float32)
+            pos = dec.score(p["decoder"], z, src, dst, rel)
+            r_s, r_d = jax.random.split(rng)
+            js = jax.random.randint(r_s, (4,) + rel.shape, 0, n_real)
+            jd = jax.random.randint(r_d, (4,) + rel.shape, 0, n_real)
+            neg = dec.score_neg(p["decoder"], z, flat_real[js],
+                                flat_real[jd], rel)
+            wsum = jnp.maximum(w.sum(), 1.0) * 5
+            return (jnp.sum(-jax.nn.log_sigmoid(pos) * w)
+                    + jnp.sum(-jax.nn.log_sigmoid(-neg) * w[None, :])
+                    ) / wsum
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt = tx.update(grads, opt, params)
+        return optax.apply_updates(params, updates), opt, loss
+
+    key = jax.random.PRNGKey(1)
+    losses = []
+    for epoch in range(3):
+        sampler.set_epoch(epoch)
+        for batch in sampler:
+            flat, n_real = sampler.flat_real(batch)
+            key, r = jax.random.split(key)
+            params, opt, loss = step(params, opt, r, batch,
+                                     jnp.asarray(flat), n_real)
+            losses.append(float(loss))
+    assert losses[-1] < losses[0] - 0.1, (losses[0], losses[-1])
+    assert losses[-1] < 0.55, losses[-1]

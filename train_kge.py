@@ -34,12 +34,17 @@ def main(cfg):
 
     if cfg.get("typed_tables", False):
         # hetero-native typed-table mode (models/typed.py): per-type
-        # feature tables + per-signature edge blocks, full-batch training
-        # on the train split; parity with the homogeneous path is gated
-        # in tests/test_typed.py
-        from biomedkg_tpu.training.typed_train import typed_full_train
+        # feature tables + per-signature edge blocks; full-batch training
+        # on the train split, or GraphSAINT sub-batches with
+        # typed_loader=saint (sampling/typed_batch.py); parity with the
+        # homogeneous path is gated in tests/test_typed.py
+        from biomedkg_tpu.training.typed_train import (typed_full_train,
+                                                       typed_saint_train)
 
-        typed_full_train(model, data_module, cfg)
+        if cfg.get("typed_loader", "full") == "saint":
+            typed_saint_train(model, data_module, cfg)
+        else:
+            typed_full_train(model, data_module, cfg)
         return
 
     # device-resident feature table: batches carry node ids only
