@@ -227,3 +227,46 @@ def test_typed_saint_envelope_static_and_trains(graph):
             losses.append(float(loss))
     assert losses[-1] < losses[0] - 0.1, (losses[0], losses[-1])
     assert losses[-1] < 0.55, losses[-1]
+
+
+def test_typed_sharded_step_matches_single_device(graph):
+    """Row-sharded typed-table training step (parallel/typed_shard.py,
+    8-device mesh) == the same step on one device: loss and updated
+    params."""
+    import optax
+
+    from biomedkg_tpu.parallel.mesh import make_mesh
+    from biomedkg_tpu.parallel.typed_shard import make_typed_spmd_step
+    from biomedkg_tpu.sampling.typed_batch import TypedSaintSampler
+
+    tg = graph
+    g = tg.graph
+    sampler = TypedSaintSampler(g, tg.node_type_of, tg.node_type_names,
+                                batch_size=24, walk_length=6,
+                                num_steps=2, seed=1)
+    batch = sampler.sample()
+    flat, n_real = sampler.flat_real(batch)
+
+    enc = RGCN(in_dim=D, hidden_dim=32, out_dim=16, num_hidden_layers=1,
+               num_relations=g.num_relations, drop_out=False)
+    dec = DistMult(g.num_relations, 16)
+    r1, r2 = jax.random.split(jax.random.PRNGKey(0))
+    params = {"encoder": enc.init(r1), "decoder": dec.init(r2)}
+    tx = optax.adam(1e-3)
+    key = jax.random.PRNGKey(7)
+
+    mesh = make_mesh(dp=8, tp=1, devices=jax.devices()[:8])
+    step8 = make_typed_spmd_step(enc, dec, tx, mesh, batch, neg_ratio=4)
+    p8, _, l8 = step8(params, tx.init(params), key, batch,
+                      jnp.asarray(flat), n_real)
+
+    mesh1 = make_mesh(dp=1, tp=1, devices=jax.devices()[:1])
+    step1 = make_typed_spmd_step(enc, dec, tx, mesh1, batch, neg_ratio=4)
+    p1, _, l1 = step1(params, tx.init(params), key, batch,
+                      jnp.asarray(flat), n_real)
+
+    assert abs(float(l8) - float(l1)) < 1e-5, (float(l8), float(l1))
+    for a, b in zip(jax.tree_util.tree_leaves(p8),
+                    jax.tree_util.tree_leaves(p1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
