@@ -102,7 +102,8 @@ class TransE(_Decoder):
         """Sorted-source negatives. Not bilinear in r, so no
         project-then-select — but the fused Pallas kernel has a distance
         combine mode ("transe": per-slot relation rows rebuilt in-kernel
-        via ohr @ rel_emb, in-kernel L1 row normalization,
+        via ohr @ rel_emb; the L1 row normalization is hoisted to one
+        differentiable table pass so the kernel runs the full BLOCK,
         ops/pallas/negscore.py). Fallback: sorted-gather path whose
         scatter transpose routes through the Pallas sorted segment-sum."""
         from ..ops.pallas import negscore

@@ -21,9 +21,10 @@ accumulation, one-hot d(rel_emb) matmul, streamed/dense dt):
     relation rows ARE built in-kernel (ohr @ rel_emb — one extra
     (R, B)ᵀ(B, d) matmul per chunk, the same structure the backward
     already used) and the score is the L1 translation distance
-    (reference decoder.py:21-38, with in-kernel L1 row normalization) or
-    the rotate-and-L2 form (RotatE; sin/cos of the slot's phase rows on
-    the VPU). RotatE's γ offset stays OUTSIDE the kernel (constant —
+    (reference decoder.py:21-38; the L1 row normalization is hoisted to
+    one differentiable (N, d) table pass — see _make_neg_scores) or the
+    rotate-and-L2 form (RotatE; sin/cos of the slot's phase rows on the
+    VPU). RotatE's γ offset stays OUTSIDE the kernel (constant —
     gradient-free).
 
 Caller contract: ns sorted ascending. Sizes must satisfy the VMEM budget
@@ -50,10 +51,14 @@ import os
 DISABLE = os.environ.get("BIOMEDKG_NO_FUSED_NEG", "") == "1"
 
 BLOCK = 2048
-# distance modes build ~8 extra f32 (B, d) temporaries per chunk (the
-# normalized/rotated rows and their VJPs); at B = 2048 that overflows the
+# rotate builds ~8 extra f32 (B, d/2) temporaries per chunk (the rotated
+# rows, the distance, and their VJPs); at B = 2048 that overflows the
 # 16 MB scoped-VMEM stack (measured: 17.18M requested). Half-size chunks
-# keep the same total work with twice the grid steps.
+# keep the same total work with twice the grid steps. transe ran the
+# same way until round 3 hoisted its L1 normalization OUT of the kernel
+# (the z table is pre-normalized once per step and XLA autodiffs that
+# (N, d) pass), leaving a plain |h + r − t| body lean enough for the
+# full BLOCK.
 BLOCK_DISTANCE = 1024
 VMEM_BUDGET = 10 * 1024 * 1024
 
@@ -62,7 +67,7 @@ DISTANCE_MODES = ("transe", "rotate")
 
 
 def block_for(mode: str) -> int:
-    return BLOCK_DISTANCE if mode in DISTANCE_MODES else BLOCK
+    return BLOCK_DISTANCE if mode == "rotate" else BLOCK
 
 
 def fits(num_nodes: int, d: int, num_relations: int) -> bool:
@@ -113,18 +118,17 @@ def _combine_dt(mode, r, h):
 
 # -- distance-mode math (f32 on the VPU) -----------------------------------
 
-def _l1n(v):
-    return v / jnp.maximum(jnp.sum(jnp.abs(v), axis=1, keepdims=True),
-                           1e-12)
-
-
 def _split(v):
     half = v.shape[1] // 2
     return v[:, :half], v[:, half:]
 
 
 def _distance_score(mode, h, t, r_rows):
-    """(B,) raw scores. transe: -‖L1n(h) + r − L1n(t)‖₁ (decoder.py:21-38).
+    """(B,) raw scores. transe: -‖h + r − t‖₁ on the PRE-NORMALIZED z
+    table (decoder.py:21-38 semantics; the L1 row normalization and its
+    VJP run once per step over (N, d) in XLA — see _make_neg_scores —
+    instead of per chunk in both kernels, which is what forced the
+    half-size BLOCK_DISTANCE until round 3).
     rotate: -Σ_j |h∘e^{iθ} − t|_j (γ added by the caller; ``r_rows`` is
     the slot's PRE-COMPUTED [cos θ | sin θ] rows — the (R, d) table costs
     R·d transcendentals once per step outside the kernel instead of
@@ -133,7 +137,7 @@ def _distance_score(mode, h, t, r_rows):
     t = t.astype(jnp.float32)
     r = r_rows.astype(jnp.float32)
     if mode == "transe":
-        return -jnp.sum(jnp.abs(_l1n(h) + r - _l1n(t)), axis=1)
+        return -jnp.sum(jnp.abs(h + r - t), axis=1)
     h_re, h_im = _split(h)
     t_re, t_im = _split(t)
     c, s = _split(r)
@@ -151,18 +155,9 @@ def _distance_bwd(mode, h, t, r_rows, ds_col):
     r = r_rows.astype(jnp.float32)
     ds = ds_col.astype(jnp.float32)
     if mode == "transe":
-        nh = jnp.maximum(jnp.sum(jnp.abs(h), axis=1, keepdims=True), 1e-12)
-        nt = jnp.maximum(jnp.sum(jnp.abs(t), axis=1, keepdims=True), 1e-12)
-        hn, tn = h / nh, t / nt
-        sg = jnp.sign(hn + r - tn)
-        dhn = -ds * sg
-        dtn = ds * sg
-        # L1-normalize VJP: d(v/n)ᵀg = (g − (g·v̂)·sign(v)) / n
-        dh = (dhn - jnp.sum(dhn * hn, axis=1, keepdims=True)
-              * jnp.sign(h)) / nh
-        dt = (dtn - jnp.sum(dtn * tn, axis=1, keepdims=True)
-              * jnp.sign(t)) / nt
-        return dh, dt, -ds * sg
+        sg = jnp.sign(h + r - t)
+        dh = -ds * sg
+        return dh, -dh, dh
     h_re, h_im = _split(h)
     t_re, t_im = _split(t)
     c, s = _split(r)
@@ -554,15 +549,35 @@ def _make_neg_scores(mode):
         else:
             dz_src, dre, dt = _bwd_call(mode, z, ns, t_rows, rel_ids,
                                         rel_emb, ds)
-            # t-side gradient: plain scatter (nd unsorted by construction)
+            # t-side gradient: plain scatter (nd unsorted by construction).
+            # f32 accumulation — measured no slower than bf16 (PERF.md),
+            # and the transe table-level normalization VJP amplifies
+            # accumulator rounding
             safe_nd = jnp.clip(nd, 0, z.shape[0] - 1)
-            dz = dz_src + jax.ops.segment_sum(dt, safe_nd,
+            dz = dz_src + jax.ops.segment_sum(dt.astype(jnp.float32),
+                                              safe_nd,
                                               num_segments=z.shape[0])
         return (dz.astype(z.dtype), None, None, None,
                 dre.astype(rel_emb.dtype))
 
     neg_scores.defvjp(_op_fwd, _op_bwd)
-    return neg_scores
+    if mode != "transe":
+        return neg_scores
+
+    def transe_pre_normalized(z, ns, nd, rel_ids, rel_emb):
+        """TransE with the L1 row normalization HOISTED to one
+        differentiable (N, d) table pass: the kernel then computes the
+        plain translation distance with ~3 live (B, d) temporaries
+        instead of ~9, which is what lets transe run the full BLOCK
+        (2048) instead of BLOCK_DISTANCE. XLA autodiffs this pass — the
+        normalization VJP lands on N table rows once instead of on every
+        K·E slot."""
+        zf = z.astype(jnp.float32)
+        zn = zf / jnp.maximum(jnp.sum(jnp.abs(zf), axis=1, keepdims=True),
+                              1e-12)
+        return neg_scores(zn.astype(z.dtype), ns, nd, rel_ids, rel_emb)
+
+    return transe_pre_normalized
 
 
 distmult_neg_scores = _make_neg_scores("distmult")

@@ -36,6 +36,7 @@ def probe(tg, batches, neg_sampler, compute_dtype, scan_k=8, groups=4,
     rng = jax.random.PRNGKey(0)
     state = module.init_state(rng)
     step_fn = module._get_train_steps_scan()
+    assert len(batches) >= scan_k, (len(batches), scan_k)
     stacked = jax.device_put(stack_batches(batches[:scan_k]))
     edges = sum(int(np.sum(b.edge_mask)) for b in batches[:scan_k])
 
@@ -62,9 +63,9 @@ def main():
     tg = bench.build_graph()
     loaders = {}
 
-    def get_batches(layout, batch_size=bench.BATCH_SIZE):
+    def get_batches(layout, batch_size=bench.BATCH_SIZE, count=8):
         key = (layout, batch_size)
-        if key not in loaders:
+        if key not in loaders or len(loaders[key]) < count:
             from biomedkg_tpu.sampling.loaders import SaintRandomWalkLoader
 
             ld = SaintRandomWalkLoader(
@@ -72,7 +73,7 @@ def main():
                 walk_length=bench.WALK_LENGTH, num_steps=10**9,
                 block_size=bench.BLOCK_SIZE, seed=0, edge_layout=layout)
             it = iter(ld)
-            loaders[key] = [next(it) for _ in range(8)]
+            loaders[key] = [next(it) for _ in range(count)]
             b = loaders[key][0]
             print(f"  [b{batch_size}/{layout}] envelope "
                   f"{b.node_mask.shape[0]} nodes / "
@@ -99,7 +100,7 @@ def main():
             if part in ("complex", "transe", "rotate"):
                 decoder = part
         dst_bwd = "perm" if "perm" in v.split("_") else "scatter"
-        probe(tg, get_batches(layout, bs), sampler, dtype,
+        probe(tg, get_batches(layout, bs, count=scan_k), sampler, dtype,
               edge_layout=layout, label=f"b{bs}", scan_k=scan_k,
               decoder=decoder, dst_bwd=dst_bwd)
 

@@ -109,3 +109,26 @@ def test_stage_a_dna_branch(tmp_path, monkeypatch):
     assert np.isfinite(out).all()
     # CLS embeddings, deterministic for fixed weights
     np.testing.assert_array_equal(out, ne(["acgt", "ggca"]))
+
+
+@pytest.mark.slow
+def test_lm_embed_flax_backend_matches_torch(tmp_path):
+    """ROADMAP #8: the flax (TPU-native, jitted, static-bucket) Stage-A
+    forward produces the same CLS vectors as the reference torch path,
+    including the ragged-batch row/length padding."""
+    from biomedkg_tpu.data.lm_embed import NodeEmbedding
+
+    model_dir = _write_tiny_bert(str(tmp_path / "tiny-bert-flax"))
+    texts = ["first protein", "a much longer description " * 10, "x"]
+
+    ne_t = NodeEmbedding(model_dir, batch_size=4, backend="torch")
+    ne_f = NodeEmbedding(model_dir, batch_size=4, backend="flax")
+    assert ne_f.backend == "flax"
+    out_t = ne_t(texts)
+    out_f = ne_f(texts)
+    assert out_f.shape == out_t.shape == (3, 768)
+    np.testing.assert_allclose(out_f, out_t, rtol=2e-4, atol=2e-4)
+    # second call with a different ragged length reuses the same compile
+    out2 = ne_f(["abc", "def longer text here"])
+    assert out2.shape == (2, 768)
+    assert np.isfinite(out2).all()
