@@ -51,15 +51,14 @@ import os
 DISABLE = os.environ.get("BIOMEDKG_NO_FUSED_NEG", "") == "1"
 
 BLOCK = 2048
-# rotate builds ~8 extra f32 (B, d/2) temporaries per chunk (the rotated
-# rows, the distance, and their VJPs); at B = 2048 that overflows the
-# 16 MB scoped-VMEM stack (measured: 17.18M requested). Half-size chunks
-# keep the same total work with twice the grid steps. transe ran the
-# same way until round 3 hoisted its L1 normalization OUT of the kernel
-# (the z table is pre-normalized once per step and XLA autodiffs that
-# (N, d) pass), leaving a plain |h + r − t| body lean enough for the
-# full BLOCK.
-BLOCK_DISTANCE = 1024
+# All four modes now run the full BLOCK. History: the distance kernels
+# originally ran B = 1024 because transe's in-kernel L1 normalization
+# and its VJP held ~9 live f32 (B, d) temporaries (measured 17.18 M
+# scoped-VMEM requested at B = 2048). Round 3 hoisted that
+# normalization OUT of the kernel (the z table is pre-normalized once
+# per step and XLA autodiffs the (N, d) pass); the remaining plain
+# |h + r − t| and rotate-and-L2 bodies both fit at 2048 (rotate
+# measured 16.34 → 16.05 ms/step on the chip).
 VMEM_BUDGET = 10 * 1024 * 1024
 
 BILINEAR_MODES = ("distmult", "complex")
@@ -67,7 +66,7 @@ DISTANCE_MODES = ("transe", "rotate")
 
 
 def block_for(mode: str) -> int:
-    return BLOCK_DISTANCE if mode == "rotate" else BLOCK
+    return BLOCK
 
 
 def fits(num_nodes: int, d: int, num_relations: int) -> bool:
@@ -128,7 +127,7 @@ def _distance_score(mode, h, t, r_rows):
     table (decoder.py:21-38 semantics; the L1 row normalization and its
     VJP run once per step over (N, d) in XLA — see _make_neg_scores —
     instead of per chunk in both kernels, which is what forced the
-    half-size BLOCK_DISTANCE until round 3).
+    distance modes to half-size chunks until round 3).
     rotate: -Σ_j |h∘e^{iθ} − t|_j (γ added by the caller; ``r_rows`` is
     the slot's PRE-COMPUTED [cos θ | sin θ] rows — the (R, d) table costs
     R·d transcendentals once per step outside the kernel instead of
@@ -568,8 +567,8 @@ def _make_neg_scores(mode):
         """TransE with the L1 row normalization HOISTED to one
         differentiable (N, d) table pass: the kernel then computes the
         plain translation distance with ~3 live (B, d) temporaries
-        instead of ~9, which is what lets transe run the full BLOCK
-        (2048) instead of BLOCK_DISTANCE. XLA autodiffs this pass — the
+        instead of ~9, which is what lets the distance modes run the
+        full BLOCK (2048). XLA autodiffs this pass — the
         normalization VJP lands on N table rows once instead of on every
         K·E slot."""
         zf = z.astype(jnp.float32)
