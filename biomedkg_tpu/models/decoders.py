@@ -98,14 +98,17 @@ class TransE(_Decoder):
         t = self._l1_normalize(t)
         return -jnp.sum(jnp.abs(h + r - t), axis=-1)
 
-    def score_neg_sorted(self, params, z, neg_src, neg_dst, rel):
+    def score_neg_sorted(self, params, z, neg_src, neg_dst, rel,
+                         dst_sorted=False):
         """Sorted-source negatives. Not bilinear in r, so no
         project-then-select — but the fused Pallas kernel has a distance
         combine mode ("transe": per-slot relation rows rebuilt in-kernel
         via ohr @ rel_emb; the L1 row normalization is hoisted to one
         differentiable table pass so the kernel runs the full BLOCK,
-        ops/pallas/negscore.py). Fallback: sorted-gather path whose
-        scatter transpose routes through the Pallas sorted segment-sum."""
+        ops/pallas/negscore.py). ``dst_sorted``: neg_dst is narrow-
+        banded per chunk (the "sorted2" sampler) → the fully-VMEM `_ds`
+        kernel. Fallback: sorted-gather path whose scatter transpose
+        routes through the Pallas sorted segment-sum."""
         from ..ops.pallas import negscore
 
         if (not negscore.DISABLE
@@ -115,8 +118,9 @@ class TransE(_Decoder):
                 and neg_src.shape[0] % negscore.block_for("transe") == 0
                 and negscore.fits(z.shape[0], z.shape[1],
                                   self.num_relations)):
-            return negscore.transe_neg_scores(
-                z, neg_src, neg_dst, rel, params["rel_emb"])
+            kern = (negscore.transe_neg_scores_ds if dst_sorted
+                    else negscore.transe_neg_scores)
+            return kern(z, neg_src, neg_dst, rel, params["rel_emb"])
 
         h = self._l1_normalize(take_rows_sorted(z, neg_src))
         t = self._l1_normalize(take_rows(z, neg_dst))
@@ -151,7 +155,8 @@ class DistMult(_Decoder):
     def _combine(self, h, r, t):
         return jnp.sum(h * r * t, axis=-1)
 
-    def score_neg_sorted(self, params, z, neg_src, neg_dst, rel):
+    def score_neg_sorted(self, params, z, neg_src, neg_dst, rel,
+                         dst_sorted=False):
         """Flat negative scoring tuned for the sorted-source sampler.
 
         ``neg_src`` is a SORTED (K·E,) index vector (kge_module's
@@ -178,9 +183,12 @@ class DistMult(_Decoder):
                                   self.num_relations)):
             # fully-fused Pallas path: z stays VMEM-resident, h rebuilt
             # from the sorted one-hot on the MXU — only the t-side stream
-            # touches HBM at (K·E, d) size (ops/pallas/negscore.py)
-            return negscore.distmult_neg_scores(
-                z, neg_src, neg_dst, rel, params["rel_emb"])
+            # touches HBM at (K·E, d) size; with dst_sorted (the
+            # "sorted2" sampler) even that stream disappears into the
+            # windowed `_ds` kernels (ops/pallas/negscore.py)
+            kern = (negscore.distmult_neg_scores_ds if dst_sorted
+                    else negscore.distmult_neg_scores)
+            return kern(z, neg_src, neg_dst, rel, params["rel_emb"])
 
         h = take_rows_sorted(z, neg_src)
         t = take_rows(z, neg_dst)
@@ -229,7 +237,8 @@ class ComplEx(_Decoder):
         s += (h_re * r_im + h_im * r_re) * t_im
         return jnp.sum(s, axis=-1)
 
-    def score_neg_sorted(self, params, z, neg_src, neg_dst, rel):
+    def score_neg_sorted(self, params, z, neg_src, neg_dst, rel,
+                         dst_sorted=False):
         """Sorted-source negative scoring (see DistMult's docstring):
         ComplEx is bilinear in r — score = Σ_j G(h,t)_j · rel_emb[rel]_j
         with G = [h_re∘t_re + h_im∘t_im | h_re∘t_im − h_im∘t_re] — so the
@@ -243,8 +252,9 @@ class ComplEx(_Decoder):
                 and neg_src.shape[0] % negscore.BLOCK == 0
                 and negscore.fits(z.shape[0], z.shape[1],
                                   self.num_relations)):
-            return negscore.complex_neg_scores(
-                z, neg_src, neg_dst, rel, params["rel_emb"])
+            kern = (negscore.complex_neg_scores_ds if dst_sorted
+                    else negscore.complex_neg_scores)
+            return kern(z, neg_src, neg_dst, rel, params["rel_emb"])
 
         h_re, h_im = self._chunk(take_rows_sorted(z, neg_src))
         t_re, t_im = self._chunk(take_rows(z, neg_dst))
@@ -324,7 +334,8 @@ class RotatE(_Decoder):
         c, s = jnp.cos(theta), jnp.sin(theta)
         return h_re * c - h_im * s, h_re * s + h_im * c
 
-    def score_neg_sorted(self, params, z, neg_src, neg_dst, rel):
+    def score_neg_sorted(self, params, z, neg_src, neg_dst, rel,
+                         dst_sorted=False):
         """Sorted-source negatives (see TransE.score_neg_sorted): the
         fused kernel's "rotate" distance mode computes sin/cos of the
         slot's phase rows in-kernel; γ is a gradient-free constant added
@@ -338,8 +349,9 @@ class RotatE(_Decoder):
                 and neg_src.shape[0] % negscore.block_for("rotate") == 0
                 and negscore.fits(z.shape[0], z.shape[1],
                                   self.num_relations)):
-            raw = negscore.rotate_neg_scores(
-                z, neg_src, neg_dst, rel, params["rel_emb"])
+            kern = (negscore.rotate_neg_scores_ds if dst_sorted
+                    else negscore.rotate_neg_scores)
+            raw = kern(z, neg_src, neg_dst, rel, params["rel_emb"])
             return self.gamma + raw
 
         h_re, h_im = self._chunk(take_rows_sorted(z, neg_src))

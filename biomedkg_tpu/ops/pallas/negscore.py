@@ -296,6 +296,167 @@ def _bwd_kernel(mode, n_pad, lo_ref, ids_ref, rel_ref, t_ref, ds_ref, z_ref,
     _window_accumulate(n_pad, lo_ref[c] * ALIGN, ids, body)
 
 
+def _fwd_kernel_ds(mode, n_pad, lo_ref, ids_ref, rel_ref, nd_ref, z_ref,
+                   re_ref, out_ref, h_ref, t_ref):
+    """Forward with BOTH endpoint gathers in-VMEM (the "sorted2"
+    sampler: nd is iid uniform inside a per-chunk random narrow band —
+    the window sweep needs only a narrow min..max span, not sorted
+    order; a band wrapping the id range degrades that chunk to a
+    longer fori_loop, same code)."""
+    c = pl.program_id(0)
+    ids = ids_ref[c % 8, :]
+    _gather_h(n_pad, lo_ref[c], ids, z_ref, h_ref, jnp.bfloat16)
+    nd = nd_ref[c % 8, :]
+    _gather_h(n_pad, lo_ref[c], nd, z_ref, t_ref, jnp.bfloat16)
+    rel = rel_ref[c % 8, :]
+    if mode in BILINEAR_MODES:
+        ht = _combine_fwd(mode, h_ref[:], t_ref[:])
+        pt = jax.lax.dot_general(
+            re_ref[:], ht, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        ohr = (jax.lax.broadcasted_iota(
+            jnp.int32, (re_ref.shape[0], rel.shape[0]), 0)
+            == rel[None, :])
+        out_ref[c % 8, :] = jnp.sum(jnp.where(ohr, pt, 0.0), axis=0)
+    else:
+        _, r_rows = _slot_rel(re_ref, rel, jnp.bfloat16)
+        out_ref[c % 8, :] = _distance_score(mode, h_ref[:], t_ref[:],
+                                            r_rows)
+
+
+def _bwd_kernel_ds(mode, n_pad, lo_ref, ids_ref, rel_ref, nd_ref, ds_ref,
+                   z_ref, re_ref, dz_ref, dre_ref, h_ref, t_ref):
+    """Backward with the dst contribution folded into the SAME windowed
+    dz accumulation as the src side — no (K·E, d) dt stream, no XLA
+    scatter, and no O(n_pad) dense one-hot sweep (the dominant FLOP term
+    of the dense-dst kernel)."""
+    c = pl.program_id(0)
+
+    @pl.when(c == 0)
+    def _():
+        dz_ref[:] = jnp.zeros_like(dz_ref)
+        dre_ref[:] = jnp.zeros_like(dre_ref)
+
+    ids = ids_ref[c % 8, :]
+    _gather_h(n_pad, lo_ref[c], ids, z_ref, h_ref, jnp.bfloat16)
+    nd = nd_ref[c % 8, :]
+    _gather_h(n_pad, lo_ref[c], nd, z_ref, t_ref, jnp.bfloat16)
+    h = h_ref[:]
+    t = t_ref[:]
+    rel = rel_ref[c % 8, :]
+    ohr, r_rows = _slot_rel(re_ref, rel, jnp.bfloat16)
+    ds_col = ds_ref[c % 8, :].reshape(-1, 1).astype(jnp.bfloat16)
+    dh, dt, dre_up = _chunk_grads(mode, h, t, r_rows, ohr, ds_col)
+    dre_ref[:] += dre_up
+
+    def body_src(base, in_win):
+        rows = jax.lax.broadcasted_iota(
+            jnp.int32, (WINDOW, ids.shape[0]), 0) + base
+        oh = ((rows == ids[None, :]) & in_win[None, :]).astype(h.dtype)
+        dz_ref[pl.ds(base, WINDOW), :] += jax.lax.dot_general(
+            oh, dh, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    _window_accumulate(n_pad, lo_ref[c] * ALIGN, ids, body_src)
+
+    def body_dst(base, in_win):
+        rows = jax.lax.broadcasted_iota(
+            jnp.int32, (WINDOW, nd.shape[0]), 0) + base
+        oh = ((rows == nd[None, :]) & in_win[None, :]).astype(t.dtype)
+        dz_ref[pl.ds(base, WINDOW), :] += jax.lax.dot_general(
+            oh, dt, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    _window_accumulate(n_pad, lo_ref[c] * ALIGN, nd, body_dst)
+
+
+def _fwd_call_ds(mode, z, ns, nd, rel_ids, rel_emb):
+    block = block_for(mode)
+    num_chunks, chunks8, n_pad, zb, lo_blocks, tiles = _prep(
+        z, ns, rel_ids, block)
+    d = z.shape[1]
+    r = rel_emb.shape[0]
+    tile_spec = pl.BlockSpec((8, block), lambda c, lo: (c // 8, 0),
+                             memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(num_chunks,),
+        in_specs=[
+            tile_spec, tile_spec, tile_spec,
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # z (full, bf16)
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # rel_emb
+        ],
+        out_specs=pl.BlockSpec((8, block), lambda c, lo: (c // 8, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((block, d), jnp.bfloat16),
+                        pltpu.VMEM((block, d), jnp.bfloat16)],
+    )
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel_ds, mode, n_pad),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((chunks8, block), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * ns.shape[0] * (2 * WINDOW + r) * d,
+            bytes_accessed=n_pad * d * 2,
+            transcendentals=0,
+        ),
+    )(lo_blocks, tiles(ns.astype(jnp.int32), -1),
+      tiles(rel_ids.astype(jnp.int32), 0),
+      tiles(jnp.clip(nd, 0, n_pad - 1).astype(jnp.int32), 0),
+      zb, rel_emb.astype(jnp.bfloat16))
+    return out.reshape(-1)[:ns.shape[0]]
+
+
+def _bwd_call_ds(mode, z, ns, nd, rel_ids, rel_emb, ds):
+    block = block_for(mode)
+    num_chunks, chunks8, n_pad, zb, lo_blocks, tiles = _prep(
+        z, ns, rel_ids, block)
+    d = z.shape[1]
+    r, dr = rel_emb.shape
+    if mode == "rotate":
+        dr //= 2                  # rel input is [cos|sin]; grad is dθ
+    r_pad = _round_up(max(r, 8), 8)
+    re = rel_emb.astype(jnp.bfloat16)
+    if r_pad != r:
+        re = jnp.pad(re, ((0, r_pad - r), (0, 0)))
+    tile_spec = pl.BlockSpec((8, block), lambda c, lo: (c // 8, 0),
+                             memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(num_chunks,),
+        in_specs=[
+            tile_spec, tile_spec, tile_spec, tile_spec,
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # z
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # rel_emb
+        ],
+        out_specs=[
+            pl.BlockSpec((n_pad, d), lambda c, lo: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((r_pad, dr), lambda c, lo: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[pltpu.VMEM((block, d), jnp.bfloat16),
+                        pltpu.VMEM((block, d), jnp.bfloat16)],
+    )
+    dz, dre = pl.pallas_call(
+        functools.partial(_bwd_kernel_ds, mode, n_pad),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((n_pad, d), jnp.float32),
+            jax.ShapeDtypeStruct((r_pad, dr), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * ns.shape[0] * (4 * WINDOW + 2 * r) * d,
+            bytes_accessed=n_pad * d * 6,
+            transcendentals=0,
+        ),
+    )(lo_blocks, tiles(ns.astype(jnp.int32), -1),
+      tiles(rel_ids.astype(jnp.int32), 0),
+      tiles(jnp.clip(nd, 0, n_pad - 1).astype(jnp.int32), 0),
+      tiles(ds.astype(jnp.float32), 0), zb, re)
+    return dz[:z.shape[0]], dre[:r]
+
+
 DENSE_DST_SUB = 512      # dst one-hot sub-block rows
 DENSE_DST_MAX = 2048     # use the dense dst path when n_pad ≤ this
 
@@ -510,7 +671,7 @@ def _bwd_call(mode, z, ns, t_rows, rel_ids, rel_emb, ds, nd=None):
     return dz[:z.shape[0]], dre[:r], dt
 
 
-def _make_neg_scores(mode):
+def _make_neg_scores(mode, dual_sorted: bool = False):
     def _rel_table(rel_emb):
         if mode == "rotate":
             # tiny (R, d/2) phase table → [cos | sin] once per step; the
@@ -520,46 +681,77 @@ def _make_neg_scores(mode):
                                    axis=1)
         return rel_emb
 
-    @jax.custom_vjp
-    def neg_scores(z, ns, nd, rel_ids, rel_emb):
-        """Fused scores for (z[ns], rel_emb[rel_ids], z[nd]) triples.
+    if dual_sorted:
+        @jax.custom_vjp
+        def neg_scores(z, ns, nd, rel_ids, rel_emb):
+            """Fused scores with BOTH endpoints gathered in-VMEM.
 
-        ``ns`` sorted ascending. Returns f32 (K·E,) scores. The t-side
-        gather runs in XLA (index-pattern-agnostic, full HBM speed);
-        everything else stays in VMEM.
-        """
-        t_rows = jnp.take(z, nd, axis=0, mode="clip").astype(jnp.bfloat16)
-        return _fwd_call(mode, z, ns, t_rows, rel_ids, _rel_table(rel_emb))
+            ``ns`` sorted ascending; ``nd`` narrow-banded per BLOCK
+            chunk (the "sorted2" sampler — iid draws inside a random
+            band; order within the chunk is irrelevant, only the span
+            matters). No (K·E, d) HBM traffic at all: no t stream in,
+            no dt stream out, the dst gradient folds into the same
+            windowed dz accumulator.
+            """
+            return _fwd_call_ds(mode, z, ns, nd, rel_ids,
+                                _rel_table(rel_emb))
 
-    def _op_fwd(z, ns, nd, rel_ids, rel_emb):
-        t_rows = jnp.take(z, nd, axis=0, mode="clip").astype(jnp.bfloat16)
-        re_t = _rel_table(rel_emb)
-        scores = _fwd_call(mode, z, ns, t_rows, rel_ids, re_t)
-        return scores, (z, ns, nd, rel_ids, re_t, t_rows)
+        def _op_fwd(z, ns, nd, rel_ids, rel_emb):
+            re_t = _rel_table(rel_emb)
+            scores = _fwd_call_ds(mode, z, ns, nd, rel_ids, re_t)
+            return scores, (z, ns, nd, rel_ids, re_t)
 
-    def _op_bwd(res, ds):
-        z, ns, nd, rel_ids, rel_emb, t_rows = res
-        n_pad = _round_up(max(z.shape[0], WINDOW), ALIGN)
-        if n_pad <= DENSE_DST_MAX and n_pad % DENSE_DST_SUB == 0:
-            # small envelope: the dst scatter fuses into the kernel as
-            # dense one-hot matmuls (~2× XLA's scatter at this envelope)
-            dz, dre, _ = _bwd_call(mode, z, ns, t_rows, rel_ids, rel_emb,
-                                   ds, nd=nd)
-        else:
-            dz_src, dre, dt = _bwd_call(mode, z, ns, t_rows, rel_ids,
-                                        rel_emb, ds)
-            # t-side gradient: plain scatter (nd unsorted by construction).
-            # f32 accumulation — measured no slower than bf16 (PERF.md),
-            # and the transe table-level normalization VJP amplifies
-            # accumulator rounding
-            safe_nd = jnp.clip(nd, 0, z.shape[0] - 1)
-            dz = dz_src + jax.ops.segment_sum(dt.astype(jnp.float32),
-                                              safe_nd,
-                                              num_segments=z.shape[0])
-        return (dz.astype(z.dtype), None, None, None,
-                dre.astype(rel_emb.dtype))
+        def _op_bwd(res, ds):
+            z, ns, nd, rel_ids, re_t = res
+            dz, dre = _bwd_call_ds(mode, z, ns, nd, rel_ids, re_t, ds)
+            return (dz.astype(z.dtype), None, None, None,
+                    dre.astype(re_t.dtype))
 
-    neg_scores.defvjp(_op_fwd, _op_bwd)
+        neg_scores.defvjp(_op_fwd, _op_bwd)
+    else:
+        @jax.custom_vjp
+        def neg_scores(z, ns, nd, rel_ids, rel_emb):
+            """Fused scores for (z[ns], rel_emb[rel_ids], z[nd]) triples.
+
+            ``ns`` sorted ascending. Returns f32 (K·E,) scores. The t-side
+            gather runs in XLA (index-pattern-agnostic, full HBM speed);
+            everything else stays in VMEM.
+            """
+            t_rows = jnp.take(z, nd, axis=0,
+                              mode="clip").astype(jnp.bfloat16)
+            return _fwd_call(mode, z, ns, t_rows, rel_ids,
+                             _rel_table(rel_emb))
+
+        def _op_fwd(z, ns, nd, rel_ids, rel_emb):
+            t_rows = jnp.take(z, nd, axis=0,
+                              mode="clip").astype(jnp.bfloat16)
+            re_t = _rel_table(rel_emb)
+            scores = _fwd_call(mode, z, ns, t_rows, rel_ids, re_t)
+            return scores, (z, ns, nd, rel_ids, re_t, t_rows)
+
+        def _op_bwd(res, ds):
+            z, ns, nd, rel_ids, rel_emb, t_rows = res
+            n_pad = _round_up(max(z.shape[0], WINDOW), ALIGN)
+            if n_pad <= DENSE_DST_MAX and n_pad % DENSE_DST_SUB == 0:
+                # small envelope: the dst scatter fuses into the kernel as
+                # dense one-hot matmuls (~2× XLA's scatter at this envelope)
+                dz, dre, _ = _bwd_call(mode, z, ns, t_rows, rel_ids,
+                                       rel_emb, ds, nd=nd)
+            else:
+                dz_src, dre, dt = _bwd_call(mode, z, ns, t_rows, rel_ids,
+                                            rel_emb, ds)
+                # t-side gradient: plain scatter (nd unsorted by
+                # construction). f32 accumulation — measured no slower
+                # than bf16 (PERF.md), and the transe table-level
+                # normalization VJP amplifies accumulator rounding
+                safe_nd = jnp.clip(nd, 0, z.shape[0] - 1)
+                dz = dz_src + jax.ops.segment_sum(dt.astype(jnp.float32),
+                                                  safe_nd,
+                                                  num_segments=z.shape[0])
+            return (dz.astype(z.dtype), None, None, None,
+                    dre.astype(rel_emb.dtype))
+
+        neg_scores.defvjp(_op_fwd, _op_bwd)
     if mode != "transe":
         return neg_scores
 
@@ -583,3 +775,11 @@ distmult_neg_scores = _make_neg_scores("distmult")
 complex_neg_scores = _make_neg_scores("complex")
 transe_neg_scores = _make_neg_scores("transe")
 rotate_neg_scores = _make_neg_scores("rotate")
+
+# Dual-sorted ("sorted2") variants: ns AND nd sorted draws (random cyclic
+# pairing) — both gathers ride the windowed one-hot path and the dst
+# gradient folds into the in-kernel dz accumulator (zero (K·E, d) HBM).
+distmult_neg_scores_ds = _make_neg_scores("distmult", dual_sorted=True)
+complex_neg_scores_ds = _make_neg_scores("complex", dual_sorted=True)
+transe_neg_scores_ds = _make_neg_scores("transe", dual_sorted=True)
+rotate_neg_scores_ds = _make_neg_scores("rotate", dual_sorted=True)

@@ -55,18 +55,65 @@ def _mix_factor(e: int, bound: Optional[int] = None) -> int:
     return best
 
 
-def sample_negatives_sorted(r_src, r_dst, r_off, ratio: int,
-                            num_edges: int, num_real_nodes):
-    """Stratified-sorted negative sampling (see _forward_loss for the
-    semantics argument). Returns (neg_src sorted (K·E,), neg_dst iid
-    (K·E,), off (K,)) where slot (k, e) of the flat layout pairs with
-    batch edge (e + off[k]) mod E."""
-    ke = ratio * num_edges
-    gaps = -jnp.log(jax.random.uniform(r_src, (ke + 1,), minval=1e-12))
+def _sorted_uniform_sample(rng, ke: int, num_real_nodes):
+    """(ke,) SORTED uniform node draw via the exponential-spacing
+    construction (no device sort)."""
+    gaps = -jnp.log(jax.random.uniform(rng, (ke + 1,), minval=1e-12))
     cum = jnp.cumsum(gaps)
-    neg_src = (cum[:-1] / cum[-1] * num_real_nodes).astype(jnp.int32)
-    neg_dst = (jax.random.uniform(r_dst, (ke,))
-               * num_real_nodes).astype(jnp.int32)
+    return (cum[:-1] / cum[-1] * num_real_nodes).astype(jnp.int32)
+
+
+def sample_negatives_sorted(r_src, r_dst, r_off, ratio: int,
+                            num_edges: int, num_real_nodes,
+                            dual: bool = False):
+    """Stratified-sorted negative sampling (see _forward_loss for the
+    semantics argument). Returns (neg_src sorted (K·E,), neg_dst
+    (K·E,), off (K,)) where slot (k, e) of the flat layout pairs with
+    batch edge (e + off[k]) mod E.
+
+    ``dual=False`` ("sorted"): neg_dst iid uniform. ``dual=True``
+    ("sorted2"): neg_dst is built PER KERNEL CHUNK as iid uniform draws
+    inside a randomly-placed narrow band — slot j of chunk c gets
+    floor(N · frac(δ_c + U_{c,j}/nc)). Each slot's dst marginal is a
+    uniform mixture over the band placement δ_c = exactly uniform, the
+    pairing within a band is fully iid, and independence from the src
+    value holds because the draws are independent. The payoff: nd spans
+    ≤ 1/nc of the id range within every kernel chunk (except ~1
+    expected wrapped band per step), so BOTH endpoint gathers and BOTH
+    grad scatters ride the narrow windowed one-hot Pallas path
+    (ops/pallas/negscore.py `_ds` kernels) — zero (K·E, d) HBM traffic
+    in the negative path."""
+    ke = ratio * num_edges
+    neg_src = _sorted_uniform_sample(r_src, ke, num_real_nodes)
+    if dual:
+        from ..ops.pallas.negscore import BLOCK as _B
+
+        r_d1, r_d2 = jax.random.split(r_dst)
+        # Per kernel chunk: iid uniform draws INSIDE a randomly-placed
+        # narrow band — v = frac(δ_c + U/nc). The `_ds` kernels' window
+        # sweep needs only a NARROW SPAN per chunk (the one-hot match
+        # handles arbitrary order and duplicates; full-range per-chunk
+        # draws measured +7 ms/step from full-table sweeps). Mixing over
+        # δ_c ~ U[0,1) makes every slot's marginal exactly uniform, and
+        # within a band the pairing is fully iid — the step's (src, dst)
+        # support is K·E/B independent 2-D band patches, NOT the 1-D
+        # monotone curves that a rolled global sorted draw produces (the
+        # round-2 lattice sampler's measured failure mode; a rolled
+        # variant of this sampler still cost ~0.003 AUROC at the
+        # convergence A/B). All elementwise — a per-row roll/
+        # take_along_axis gather measured +12 ms/step (the known
+        # small-int-gather scalar-path pitfall). Expected wrapped bands
+        # per step: nc·(1/nc) = 1 (same full-span sweep cost as one
+        # rolled wrap).
+        nc = ke // _B if ke % _B == 0 else 1
+        u = jax.random.uniform(r_d1, (nc, ke // nc))
+        delta = jax.random.uniform(r_d2, (nc, 1))
+        v = jnp.mod(delta + u / nc, 1.0)
+        neg_dst = jnp.minimum((v * num_real_nodes).astype(jnp.int32),
+                              num_real_nodes - 1).reshape(-1)
+    else:
+        neg_dst = (jax.random.uniform(r_dst, (ke,))
+                   * num_real_nodes).astype(jnp.int32)
     off = jax.random.randint(r_off, (ratio,), 0, num_edges)
     return neg_src, neg_dst, off
 
@@ -136,10 +183,12 @@ class KGEModule(JittedStepsMixin):
         self._filter_negatives = False
         # "sorted": stratified-sorted negative sources (training only;
         # Pallas fast path, exactly-uniform marginals — see _forward_loss).
+        # "sorted2": BOTH endpoints sorted draws (random cyclic pairing) —
+        # the fully-VMEM `_ds` kernel path, zero (K·E, d) HBM traffic.
         # "iid": plain iid corruption = the reference's PyG
         # negative_sampling semantics (kge_module.py:86-102). Config
         # surface: ``model.neg_sampler`` (configs/model/kge.yaml).
-        assert neg_sampler in ("sorted", "iid"), neg_sampler
+        assert neg_sampler in ("sorted", "sorted2", "iid"), neg_sampler
         self._neg_sampler = neg_sampler
         self._edge_index_map: Dict[int, str] = {}
 
@@ -226,7 +275,7 @@ class KGEModule(JittedStepsMixin):
 
     @neg_sampler.setter
     def neg_sampler(self, value: str):
-        assert value in ("sorted", "iid"), value
+        assert value in ("sorted", "sorted2", "iid"), value
         self._neg_sampler = value
         self._jit_cache.clear()  # the step closes over the sampler choice
 
@@ -353,7 +402,8 @@ class KGEModule(JittedStepsMixin):
             jnp.sum(batch.node_mask.astype(jnp.int32)), 1)
         r_s, r_d = jax.random.split(r_neg)
 
-        use_sorted = (self.neg_sampler == "sorted" and training
+        use_sorted = (self.neg_sampler in ("sorted", "sorted2")
+                      and training
                       and not self._filter_negatives
                       and hasattr(self.model.decoder, "score_neg_sorted"))
         if use_sorted:
@@ -371,8 +421,10 @@ class KGEModule(JittedStepsMixin):
             # semantics preserved: shuffled-repeat relation multiset with
             # uniform endpoints (kge_module.py:86-102); quantified in
             # tests/test_negatives.py.
+            dual = self.neg_sampler == "sorted2"
             neg_src, neg_dst, off = sample_negatives_sorted(
-                r_s, r_d, r_perm, ratio, num_edges, num_real_nodes)
+                r_s, r_d, r_perm, ratio, num_edges, num_real_nodes,
+                dual=dual)
             # Slot (k, s) pairs with edge σ((s + off_k) mod E) where σ is a
             # fixed stride-transpose permutation. The random cyclic shift
             # makes every edge's K negatives stratified-uniform across K
@@ -398,7 +450,7 @@ class KGEModule(JittedStepsMixin):
                      if self.compute_dtype == jnp.bfloat16 else z)
             neg_pred = self.model.decoder.score_neg_sorted(
                 params["model"]["decoder"], z_neg, neg_src, neg_dst,
-                rel_slots)
+                rel_slots, dst_sorted=dual)
             neg_mask = _rolled(emask)
             pred = jnp.concatenate([pos_pred, neg_pred])
             gt = jnp.concatenate([jnp.ones_like(pos_pred),

@@ -86,7 +86,8 @@ def main():
           f"real edges/batch ≈ {int(np.sum(batches[0].edge_mask))}",
           flush=True)
     for v in variants:
-        sampler = "sorted" if v.startswith("sorted") else "iid"
+        sampler = ("sorted2" if v.startswith("sorted2")
+                   else "sorted" if v.startswith("sorted") else "iid")
         dtype = "bfloat16" if "bf16" in v else "float32"
         layout = "dst" if "dst" in v else "relation"
         bs = bench.BATCH_SIZE

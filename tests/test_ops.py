@@ -756,3 +756,46 @@ def test_perm_bwd_conv_matches_scatter_path(rng):
                     jax.tree_util.tree_leaves(outs["scatter"][1])):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("mode", ["distmult", "complex", "transe", "rotate"])
+def test_fused_neg_scores_dual_sorted(rng, mode):
+    """The `_ds` (dual-sorted / "sorted2") kernels vs the streamed fused
+    kernels on identical triples: nd is a rolled sorted draw whose wrap
+    chunk exercises the full-span window sweep. Values and all grads
+    must agree to f32-accumulation-order noise (both pipelines round
+    identically to bf16 internally)."""
+    import jax
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    from biomedkg_tpu.ops.pallas import negscore
+
+    N, R = 100, 5
+    M = negscore.BLOCK * 2
+    d = 256 if mode in ("complex", "rotate") else 128
+    rd = d // 2 if mode == "rotate" else d
+    z = jnp.asarray(rng.standard_normal((N, d)).astype(np.float32))
+    ns = jnp.asarray(np.sort(rng.integers(0, N, M)).astype(np.int32))
+    nd = jnp.asarray(np.roll(np.sort(rng.integers(0, N, M)), 1234)
+                     .astype(np.int32))
+    rel = jnp.asarray(rng.integers(0, R, M).astype(np.int32))
+    re = jnp.asarray(rng.standard_normal((R, rd)).astype(np.float32))
+    cot = jnp.asarray(rng.standard_normal(M).astype(np.float32))
+    kern_ds = getattr(negscore, f"{mode}_neg_scores_ds")
+    kern_ref = getattr(negscore, f"{mode}_neg_scores")
+
+    def f_ds(z, re):
+        return jnp.sum(kern_ds(z, ns, nd, rel, re) * cot)
+
+    def f_ref(z, re):
+        return jnp.sum(kern_ref(z, ns, nd, rel, re) * cot)
+
+    with pltpu.force_tpu_interpret_mode():
+        v1, (gz1, gr1) = jax.value_and_grad(f_ds, (0, 1))(z, re)
+        v2, (gz2, gr2) = jax.value_and_grad(f_ref, (0, 1))(z, re)
+    assert abs(float(v1) - float(v2)) / (abs(float(v2)) + 1e-6) < 1e-5
+    for a, b in [(gz1, gz2), (gr1, gr2)]:
+        a, b = np.asarray(a), np.asarray(b)
+        rel_err = np.abs(a - b).max() / (np.abs(b).max() + 1e-6)
+        assert rel_err < 1e-5, rel_err
