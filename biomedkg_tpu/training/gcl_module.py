@@ -17,6 +17,7 @@ padded batch.
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Any, Dict, Optional
 
@@ -55,6 +56,90 @@ def _l2_normalize(h):
                            1e-12)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _flash_pos_denom(an, bn, col, block: int, tau: float):
+    """Per-row (pos, denom) of the L2L-intraview InfoNCE in (block, N)
+    tiles with a FLASH-STYLE custom VJP: the forward saves only the
+    (N,) pos/denom vectors; the backward recomputes each tile's
+    similarity rows and folds the softmax cotangents into four MXU
+    matmuls per tile. Without this, autodiff through the scan spills
+    the f32 softmax residuals — 2 × (N, N) per direction, ~630 MB of
+    HBM write+read at the 6.3k-node production batch — which dominated
+    the GRACE step (PERF.md GCL pass). ``an``/``bn`` are L2-normalized
+    rows; ``col`` is the f32 additive padding mask (0 / finfo.min),
+    mask-derived and non-differentiable."""
+    pos, denom = _flash_fwd(an, bn, col, block, tau)
+    return pos, denom
+
+
+def _flash_fwd(an, bn, col, block: int, tau: float):
+    n = an.shape[0]
+    neg = jnp.finfo(jnp.float32).min
+    a_tiles = an.reshape(n // block, block, an.shape[1])
+    idx = jnp.arange(n, dtype=jnp.int32).reshape(n // block, block)
+    cols = jnp.arange(n, dtype=jnp.int32)
+
+    def tile(_, inp):
+        ab, ib = inp
+        inter = ((ab @ bn.T) / tau).astype(jnp.float32) + col[None, :]
+        intra = ((ab @ an.T) / tau).astype(jnp.float32)
+        eye = ib[:, None] == cols[None, :]
+        intra = jnp.where(eye, neg, intra + col[None, :])
+        pos = jnp.sum(jnp.where(eye, inter, 0.0), axis=1)
+        denom = jnp.logaddexp(
+            jax.scipy.special.logsumexp(inter, axis=1),
+            jax.scipy.special.logsumexp(intra, axis=1))
+        return None, (pos, denom)
+
+    _, (pos, denom) = jax.lax.scan(tile, None, (a_tiles, idx))
+    return pos.reshape(-1), denom.reshape(-1)
+
+
+def _flash_vjp_fwd(an, bn, col, block: int, tau: float):
+    pos, denom = _flash_fwd(an, bn, col, block, tau)
+    return (pos, denom), (an, bn, col, denom)
+
+
+def _flash_vjp_bwd(block: int, tau: float, res, cts):
+    an, bn, col, denom = res
+    g_pos, g_denom = cts
+    n, d = an.shape
+    neg = jnp.finfo(jnp.float32).min
+    cols = jnp.arange(n, dtype=jnp.int32)
+    tiles = (an.reshape(n // block, block, d),
+             jnp.arange(n, dtype=jnp.int32).reshape(n // block, block),
+             g_pos.reshape(n // block, block),
+             g_denom.reshape(n // block, block),
+             denom.reshape(n // block, block))
+
+    def tile(carry, inp):
+        d_an_cols, d_bn_cols = carry
+        ab, ib, gp, gd, dnm = inp
+        # recompute this tile's logits exactly as the forward did
+        inter = ((ab @ bn.T) / tau).astype(jnp.float32) + col[None, :]
+        intra = ((ab @ an.T) / tau).astype(jnp.float32)
+        eye = ib[:, None] == cols[None, :]
+        intra = jnp.where(eye, neg, intra + col[None, :])
+        # softmax cotangents: d denom/d logit = softmax weight; the pos
+        # cotangent lands on the inter diagonal
+        gi = (gd[:, None] * jnp.exp(inter - dnm[:, None])
+              + jnp.where(eye, gp[:, None], 0.0)).astype(an.dtype)
+        gt = (gd[:, None] * jnp.exp(intra - dnm[:, None])).astype(an.dtype)
+        d_ab = (gi @ bn + gt @ an) / tau
+        d_bn_cols += (gi.T @ ab).astype(jnp.float32) / tau
+        d_an_cols += (gt.T @ ab).astype(jnp.float32) / tau
+        return (d_an_cols, d_bn_cols), d_ab
+
+    zero = jnp.zeros((n, d), jnp.float32)
+    (d_an_cols, d_bn_cols), d_ab = jax.lax.scan(tile, (zero, zero), tiles)
+    d_an = (d_ab.reshape(n, d).astype(jnp.float32) + d_an_cols)
+    return (d_an.astype(an.dtype), d_bn_cols.astype(bn.dtype),
+            jnp.zeros_like(col))
+
+
+_flash_pos_denom.defvjp(_flash_vjp_fwd, _flash_vjp_bwd)
+
+
 def infonce_intraview_loss(h1, h2, node_mask, tau: float = 0.2,
                            block: int = 0):
     """PyGCL DualBranchContrast(InfoNCE(tau), 'L2L', intraview_negs=True)
@@ -65,9 +150,10 @@ def infonce_intraview_loss(h1, h2, node_mask, tau: float = 0.2,
     ``block > 0`` (and dividing N) streams the similarity rows in
     (block, N) tiles through a lax.scan — flash-style: the two (N, N)
     inter/intra matrices (157 MB each at the 6.3k-node production batch,
-    round-2 VERDICT #4) are never materialized in HBM; per-row logsumexp
-    reduces inside each tile. Numerics match the dense form to f32
-    round-off (logsumexp in f32 regardless of input dtype)."""
+    round-2 VERDICT #4) are never materialized in HBM, in the backward
+    either (the custom VJP recomputes tiles; see _flash_pos_denom).
+    Numerics match the dense form to f32 round-off (logsumexp in f32
+    regardless of input dtype)."""
 
     def direction_dense(a, b):
         an, bn = _l2_normalize(a), _l2_normalize(b)
@@ -86,27 +172,10 @@ def infonce_intraview_loss(h1, h2, node_mask, tau: float = 0.2,
 
     def direction_blocked(a, b):
         an, bn = _l2_normalize(a), _l2_normalize(b)
-        n = an.shape[0]
         neg = jnp.finfo(jnp.float32).min
-        col = jnp.where(node_mask[None, :], 0.0, neg)
-        a_tiles = an.reshape(n // block, block, an.shape[1])
-        idx = jnp.arange(n, dtype=jnp.int32).reshape(n // block, block)
-
-        def tile(_, inp):
-            ab, ib = inp
-            inter = ((ab @ bn.T) / tau).astype(jnp.float32) + col
-            intra = ((ab @ an.T) / tau).astype(jnp.float32)
-            eye = ib[:, None] == jnp.arange(n, dtype=jnp.int32)[None, :]
-            intra = jnp.where(eye, neg, intra + col)
-            pos = jnp.sum(jnp.where(eye, inter, 0.0), axis=1)
-            denom = jnp.logaddexp(
-                jax.scipy.special.logsumexp(inter, axis=1),
-                jax.scipy.special.logsumexp(intra, axis=1))
-            return None, (pos, denom)
-
-        _, (pos, denom) = jax.lax.scan(tile, None, (a_tiles, idx))
-        return _masked_mean(-(pos.reshape(-1) - denom.reshape(-1)),
-                            node_mask)
+        col = jnp.where(node_mask, 0.0, neg).astype(jnp.float32)
+        pos, denom = _flash_pos_denom(an, bn, col, block, tau)
+        return _masked_mean(-(pos - denom), node_mask)
 
     direction = (direction_blocked
                  if block and h1.shape[0] % block == 0 else direction_dense)

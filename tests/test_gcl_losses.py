@@ -90,13 +90,27 @@ def test_infonce_blocked_matches_dense():
     blocked = infonce_intraview_loss(h1, h2, mask, block=128)
     np.testing.assert_allclose(float(blocked), float(dense), rtol=1e-6)
 
-    # gradients agree too (the scan transpose re-streams the tiles)
-    g_d = jax.grad(lambda a: infonce_intraview_loss(a, h2, mask,
-                                                    block=0))(h1)
-    g_b = jax.grad(lambda a: infonce_intraview_loss(a, h2, mask,
-                                                    block=128))(h1)
-    np.testing.assert_allclose(np.asarray(g_b), np.asarray(g_d),
-                               rtol=2e-5, atol=1e-6)
+    # gradients agree too — BOTH sides: the flash custom VJP recomputes
+    # tiles and accumulates the b-side (column) grads in a scan carry
+    g_d = jax.grad(lambda a, b: infonce_intraview_loss(a, b, mask,
+                                                       block=0),
+                   (0, 1))(h1, h2)
+    g_b = jax.grad(lambda a, b: infonce_intraview_loss(a, b, mask,
+                                                       block=128),
+                   (0, 1))(h1, h2)
+    for gb, gd in zip(g_b, g_d):
+        np.testing.assert_allclose(np.asarray(gb), np.asarray(gd),
+                                   rtol=2e-5, atol=1e-6)
+
+    # bf16 inputs: flash grads track the dense-bf16 grads to bf16 noise
+    h1b, h2b = h1.astype(jnp.bfloat16), h2.astype(jnp.bfloat16)
+    gb16 = jax.grad(lambda a: infonce_intraview_loss(
+        a, h2b, mask, block=128).astype(jnp.float32))(h1b)
+    gd16 = jax.grad(lambda a: infonce_intraview_loss(
+        a, h2b, mask, block=0).astype(jnp.float32))(h1b)
+    d_ref = np.asarray(gd16, np.float32)
+    err = np.abs(np.asarray(gb16, np.float32) - d_ref).max()
+    assert err <= 0.05 * np.abs(d_ref).max(), err
 
 
 def _batch(rng, n=40, e=120, d=16):
