@@ -4,7 +4,8 @@ gap, a category rollup (kernels / scatters / gathers / adam / rng /
 copies), and the top individual ops (the trace→attribute→fix loop that
 drove every round-2 optimization — PERF.md).
 
-Usage: python scripts/profile_step.py [logdir] [scan_k]   (`make profile`)
+Usage: python scripts/profile_step.py [logdir] [scan_k] [neg_sampler]
+(`make profile`)
 """
 
 import collections
@@ -50,6 +51,7 @@ def main():
 
     logdir = sys.argv[1] if len(sys.argv) > 1 else "log/profile"
     scan_k = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    neg_sampler = sys.argv[3] if len(sys.argv) > 3 else "sorted"
     tg = bench.build_graph()
     loader = SaintRandomWalkLoader(
         tg.graph, batch_size=bench.BATCH_SIZE,
@@ -63,6 +65,7 @@ def main():
         scheduler_type="cosine", learning_rate=1e-3, warm_up_ratio=0.2,
         fuse_method="none", neg_ratio=bench.NEG_RATIO,
         node_init_method="random", compute_dtype="bfloat16")
+    module.neg_sampler = neg_sampler
     module.edge_layout = "dst"
     module.configure_optimizers(num_training_steps=10_000)
     rng = jax.random.PRNGKey(0)
