@@ -3,7 +3,8 @@
 Methodology matches PERF.md round 2: neighbor batches (64 seeds, fanouts
 [15, 10]) on the PrimeKG++-scale graph, k=8 scan fusion, value-fetch
 timing. Usage: python scripts/gcl_perf_probe.py [dgi|grace|ggd ...]
-(each optionally suffixed _bf16).
+(each optionally suffixed _bf16 and/or _trace — _trace captures a
+jax.profiler trace and prints the per-op attribution via trace_attr).
 """
 
 import sys
@@ -16,7 +17,8 @@ sys.path.insert(0, ".")
 import bench  # noqa: E402
 
 
-def probe(tg, batches, model_name, compute_dtype, scan_k=8, groups=4):
+def probe(tg, batches, model_name, compute_dtype, scan_k=8, groups=4,
+          trace_logdir=None):
     import jax
 
     from biomedkg_tpu.parallel.dp import stack_batches
@@ -46,6 +48,18 @@ def probe(tg, batches, model_name, compute_dtype, scan_k=8, groups=4):
     print(f"{model_name:>6s}/{compute_dtype:<9s}: {ms:7.2f} ms/step  "
           f"loss={lv:.4f}", flush=True)
 
+    if trace_logdir:
+        n_dispatch = 3
+        jax.profiler.start_trace(trace_logdir)
+        for _ in range(n_dispatch):
+            rng, r = jax.random.split(rng)
+            state, loss = step_fn(state, stacked, r)
+        float(loss)
+        jax.profiler.stop_trace()
+        from trace_attr import attribute
+
+        attribute(trace_logdir, scan_k, n_dispatch, ms)
+
 
 def main():
     variants = sys.argv[1:] or ["dgi", "grace", "ggd", "dgi_bf16",
@@ -64,7 +78,8 @@ def main():
     for v in variants:
         name = v.split("_")[0]
         dtype = "bfloat16" if "bf16" in v else "float32"
-        probe(tg, batches, name, dtype)
+        probe(tg, batches, name, dtype,
+              trace_logdir=f"log/gcl_{v}" if "trace" in v else None)
 
 
 if __name__ == "__main__":

@@ -8,38 +8,16 @@ Usage: python scripts/profile_step.py [logdir] [scan_k] [neg_sampler]
 (`make profile`)
 """
 
-import collections
-import glob
-import gzip
-import json
-import re
 import sys
 import time
 
 import numpy as np
 
 sys.path.insert(0, ".")
+sys.path.insert(0, "scripts")
 
 import bench  # noqa: E402
-
-CATEGORIES = [
-    ("negscore kernel", re.compile(r"tpu_custom_call|pallas|custom-call")),
-    ("scatter", re.compile(r"scatter")),
-    ("gather/slice", re.compile(r"gather|dynamic-slice|dynamic_slice")),
-    ("adam/opt", re.compile(r"adam|clip|global_norm|mul_add|scale")),
-    ("rng", re.compile(r"threefry|random|rng|iota_.*bits|erf_inv")),
-    ("convert/copy", re.compile(r"convert|copy|transpose|bitcast|reshape")),
-    ("matmul", re.compile(r"dot|conv")),
-    ("fusion (other)", re.compile(r"fusion")),
-]
-
-
-def categorize(name: str) -> str:
-    low = name.lower()
-    for cat, pat in CATEGORIES:
-        if pat.search(low):
-            return cat
-    return "other"
+from trace_attr import attribute  # noqa: E402
 
 
 def main():
@@ -94,42 +72,7 @@ def main():
     float(loss)
     jax.profiler.stop_trace()
 
-    traces = sorted(glob.glob(f"{logdir}/**/*.trace.json.gz",
-                              recursive=True))
-    with gzip.open(traces[-1]) as f:
-        t = json.load(f)
-
-    # identify device lanes (TensorCore pids) vs host threads: device op
-    # events carry XLA op names; host python/runtime lanes are excluded by
-    # only counting events whose name appears >= n_dispatch times or that
-    # look like XLA ops
-    dur = collections.Counter()
-    cnt = collections.Counter()
-    for e in t["traceEvents"]:
-        if e.get("ph") == "X" and "dur" in e:
-            name = e.get("name", "?")
-            dur[name] += e["dur"]
-            cnt[name] += 1
-    steps = n_dispatch * scan_k
-    per_step = {n: d / 1e3 / steps for n, d in dur.items()
-                if cnt[n] in (steps, n_dispatch)}  # per-step or per-scan ops
-    busy = sum(per_step.values())
-
-    print(f"scan_k={scan_k}  wall {wall_ms:.2f} ms/step   "
-          f"device-attributed {busy:.2f} ms/step   "
-          f"gap (dispatch/idle/untracked) {wall_ms - busy:.2f} ms")
-
-    rollup = collections.Counter()
-    for name, ms in per_step.items():
-        rollup[categorize(name)] += ms
-    print("category rollup (ms/step):")
-    for cat, ms in rollup.most_common():
-        print(f"  {ms:7.3f} ms  {cat}")
-
-    print("top device ops (ms/step):")
-    for name, ms in sorted(per_step.items(), key=lambda kv: -kv[1])[:40]:
-        tag = "scan" if cnt[name] == n_dispatch else "step"
-        print(f"  {ms:7.3f} ms [{tag}]  {name[:86]}")
+    attribute(logdir, scan_k, n_dispatch, wall_ms)
 
 
 if __name__ == "__main__":
