@@ -176,3 +176,90 @@ def test_graph_sharded_training_sampled_negatives_runs(graph):
         state, loss = step(state, sharded, r)
         losses.append(float(loss))
     assert losses[-1] < losses[0], losses
+
+
+def test_graph_sharded_halo_forward_matches_all_gather(graph):
+    """SURVEY §5 halo exchange: shipping only the per-pair halo rows via
+    all_to_all must reproduce the full-table all_gather encode exactly
+    (same partition, same params), while moving strictly fewer rows."""
+    from biomedkg_tpu.parallel.graph_shard import build_halo_plan
+
+    tg = graph
+    enc = RGCN(in_dim=DIM, hidden_dim=DIM, out_dim=DIM,
+               num_hidden_layers=1, num_relations=tg.num_edge_types,
+               drop_out=False)
+    params = enc.init(jax.random.PRNGKey(0))
+    batch = FullGraphLoader(tg.graph, block_size=64).batch()
+    mesh = make_mesh(dp=8, tp=1)
+    sharded = partition_graph(batch, num_shards=8,
+                              num_relations=tg.num_edge_types,
+                              block_size=64)
+    shard_n = sharded.x.shape[1]
+    plan = build_halo_plan(sharded, shard_n)
+
+    # the halo exchange must move fewer rows than the all_gather
+    # (P·H vs N_pad rows received per device per layer)
+    assert sharded.x.shape[0] * plan.halo <= batch.x.shape[0], plan.halo
+
+    ref = np.asarray(sharded_rgcn_encode(enc, params, sharded, mesh))
+    out = np.asarray(sharded_rgcn_encode(enc, params, sharded, mesh,
+                                         halo_plan=plan))
+    np.testing.assert_allclose(out, ref, rtol=1e-6, atol=1e-6)
+
+
+def test_graph_sharded_halo_training_matches_all_gather(graph):
+    """One halo-exchange training step (grads through the all_to_all and
+    its reverse-all_to_all transpose) lands the same loss and updated
+    params as the proven all_gather step on identical edges/negatives."""
+    import jax.numpy as jnp
+    import optax
+
+    from biomedkg_tpu.models.decoders import DistMult
+    from biomedkg_tpu.models.factory import GAE
+    from biomedkg_tpu.parallel.graph_shard import (build_halo_plan,
+                                                   make_sharded_train_step)
+    from biomedkg_tpu.training.kge_module import TrainState
+
+    tg = graph
+    R = tg.num_edge_types
+    enc = RGCN(in_dim=DIM, hidden_dim=DIM, out_dim=DIM,
+               num_hidden_layers=1, num_relations=R, drop_out=False)
+    dec = DistMult(R, DIM)
+    model = GAE(enc, dec)
+    params = model.init(jax.random.PRNGKey(0))
+    tx = optax.adam(1e-2)
+
+    batch = FullGraphLoader(tg.graph, block_size=64).batch()
+    P_SH = 8
+    sharded = partition_graph(batch, num_shards=P_SH, num_relations=R,
+                              block_size=64)
+    plan = build_halo_plan(sharded, sharded.x.shape[1])
+    rng = np.random.default_rng(3)
+    K = 3
+    e_p = sharded.edge_type.shape[1]
+    fixed_neg = rng.integers(0, tg.graph.num_nodes,
+                             (P_SH, 2, K, e_p)).astype(np.int32)
+    mesh = make_mesh(dp=P_SH, tp=1)
+
+    results = []
+    for halo_plan in (None, plan):
+        params_i = jax.tree_util.tree_map(
+            lambda a: jnp.array(np.asarray(a)), params)
+        state = TrainState(params_i, tx.init(params_i),
+                           jnp.zeros((), jnp.int32))
+        step = make_sharded_train_step(enc, dec, tx, mesh, R, neg_ratio=K,
+                                       halo_plan=halo_plan)
+        new_state, loss = step(state, sharded, jax.random.PRNGKey(1),
+                               fixed_neg=fixed_neg)
+        results.append((float(loss), new_state.params))
+
+    (l_ag, p_ag), (l_halo, p_halo) = results
+    assert abs(l_ag - l_halo) < 1e-6, (l_ag, l_halo)
+    # adam's m/sqrt(v) normalization amplifies f32 summation-order noise
+    # (all_to_all-transpose scatter order vs all_gather transpose) where
+    # grads are near zero — compare at the update scale (lr=1e-2)
+    for (ka, a), (kb, b) in zip(
+            jax.tree_util.tree_leaves_with_path(p_ag),
+            jax.tree_util.tree_leaves_with_path(p_halo)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-5, err_msg=str(ka))
