@@ -174,7 +174,19 @@ def infonce_intraview_loss(h1, h2, node_mask, tau: float = 0.2,
         an, bn = _l2_normalize(a), _l2_normalize(b)
         neg = jnp.finfo(jnp.float32).min
         col = jnp.where(node_mask, 0.0, neg).astype(jnp.float32)
-        pos, denom = _flash_pos_denom(an, bn, col, block, tau)
+        from ..ops.pallas import flashnce
+
+        if ((jax.default_backend() in ("tpu", "axon")
+             or flashnce._FORCE_KERNEL)
+                and flashnce.fits(an.shape[0], an.shape[1], block)):
+            # fully-fused tile pipeline: only the (N,) denominators and
+            # (block, d) operand tiles touch HBM (ops/pallas/flashnce.py);
+            # the positive term is the inter diagonal — a rowwise dot
+            pos = (jnp.sum(an * bn, axis=1) / tau).astype(jnp.float32) \
+                + col
+            denom = flashnce.flash_denom(an, bn, col, block, tau)
+        else:
+            pos, denom = _flash_pos_denom(an, bn, col, block, tau)
         return _masked_mean(-(pos - denom), node_mask)
 
     direction = (direction_blocked

@@ -3,6 +3,7 @@ InfoNCE, and GGD BCE (PyGCL-equivalent formulas, gcl_module.py:127-234)."""
 
 import math
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -143,3 +144,93 @@ def test_gcl_bf16_mode_trains():
         losses[dtype] = float(logs["train_loss"])
     assert np.isfinite(losses["bfloat16"])
     assert abs(losses["bfloat16"] - losses["float32"]) < 0.1, losses
+
+
+def test_flashnce_kernel_matches_xla_flash():
+    """The fused Pallas denominators (fwd + both backward kernels) must
+    match the XLA flash path (_flash_fwd / its custom VJP) on the same
+    inputs — interpret mode, f32 and bf16."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from biomedkg_tpu.ops.pallas import flashnce
+    from biomedkg_tpu.training.gcl_module import _flash_pos_denom
+
+    n, d, block, tau = 256, 128, 64, 0.2
+    rng = np.random.default_rng(11)
+    an = rng.standard_normal((n, d)).astype(np.float32)
+    bn = rng.standard_normal((n, d)).astype(np.float32)
+    an /= np.linalg.norm(an, axis=1, keepdims=True)
+    bn /= np.linalg.norm(bn, axis=1, keepdims=True)
+    mask = np.ones(n, bool)
+    mask[-17:] = False
+    col = np.where(mask, 0.0, np.finfo(np.float32).min).astype(np.float32)
+    w = rng.standard_normal(n).astype(np.float32) * mask
+
+    def via_kernel(a, b):
+        return jnp.sum(flashnce.flash_denom(a, b, jnp.asarray(col),
+                                            block, tau) * w)
+
+    def via_xla(a, b):
+        _, den = _flash_pos_denom(a, b, jnp.asarray(col), block, tau)
+        return jnp.sum(den * w)
+
+    assert flashnce.fits(n, d, block)
+    flashnce._FORCE_KERNEL = True
+    try:
+        with pltpu.force_tpu_interpret_mode():
+            dk = flashnce.flash_denom(jnp.asarray(an), jnp.asarray(bn),
+                                      jnp.asarray(col), block, tau)
+            gk = jax.grad(via_kernel, (0, 1))(jnp.asarray(an),
+                                              jnp.asarray(bn))
+        _, dx = _flash_pos_denom(jnp.asarray(an), jnp.asarray(bn),
+                                 jnp.asarray(col), block, tau)
+        gx = jax.grad(via_xla, (0, 1))(jnp.asarray(an), jnp.asarray(bn))
+        np.testing.assert_allclose(np.asarray(dk)[mask],
+                                   np.asarray(dx)[mask], rtol=2e-6,
+                                   atol=2e-6)
+        for a, b in zip(gk, gx):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-5, atol=2e-6)
+
+        # bf16 operands through the same kernels
+        with pltpu.force_tpu_interpret_mode():
+            dk16 = flashnce.flash_denom(
+                jnp.asarray(an, jnp.bfloat16), jnp.asarray(bn, jnp.bfloat16),
+                jnp.asarray(col), block, tau)
+        assert np.abs(np.asarray(dk16)[mask]
+                      - np.asarray(dx)[mask]).max() < 0.1
+    finally:
+        flashnce._FORCE_KERNEL = False
+
+
+def test_infonce_kernel_path_matches_dense():
+    """infonce_intraview_loss with the Pallas kernel path forced must
+    match the dense form (value + grads), interpret mode."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from biomedkg_tpu.ops.pallas import flashnce
+
+    rng = np.random.default_rng(4)
+    n, d = 256, 128
+    h1 = jnp.asarray(rng.standard_normal((n, d)), jnp.float32)
+    h2 = jnp.asarray(rng.standard_normal((n, d)), jnp.float32)
+    mask = np.ones(n, bool)
+    mask[-9:] = False
+    mask = jnp.asarray(mask)
+
+    dense = infonce_intraview_loss(h1, h2, mask, block=0)
+    g_d = jax.grad(lambda a, b: infonce_intraview_loss(a, b, mask,
+                                                       block=0),
+                   (0, 1))(h1, h2)
+    flashnce._FORCE_KERNEL = True
+    try:
+        with pltpu.force_tpu_interpret_mode():
+            blocked = infonce_intraview_loss(h1, h2, mask, block=64)
+            g_k = jax.grad(lambda a, b: infonce_intraview_loss(
+                a, b, mask, block=64), (0, 1))(h1, h2)
+    finally:
+        flashnce._FORCE_KERNEL = False
+    np.testing.assert_allclose(float(blocked), float(dense), rtol=1e-6)
+    for a, b in zip(g_k, g_d):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-6)
