@@ -146,14 +146,19 @@ def _bwd_cols_kernel(tau, ni, a_ref, b_ref, aj_ref, col_ref, gd_ref,
 
 
 def _tile_spec(block, d, which):
-    return pl.BlockSpec((block, d), {"i": lambda i, j: (i, 0),
-                                     "j": lambda i, j: (j, 0)}[which],
+    """Block indexed by the FIRST ("i") or SECOND ("j") grid dimension.
+
+    NOTE: positional — in the cols kernel the grid is (j, i), so "i"
+    selects the j tile there and "j" the i tile (the call sites pick
+    specs by grid POSITION, not by letter)."""
+    return pl.BlockSpec((block, d), {"i": lambda a, b: (a, 0),
+                                     "j": lambda a, b: (b, 0)}[which],
                         memory_space=pltpu.VMEM)
 
 
 def _row_spec(block, which):
-    return pl.BlockSpec((1, block), {"i": lambda i, j: (i, 0),
-                                     "j": lambda i, j: (j, 0)}[which],
+    return pl.BlockSpec((1, block), {"i": lambda a, b: (a, 0),
+                                     "j": lambda a, b: (b, 0)}[which],
                         memory_space=pltpu.VMEM)
 
 
