@@ -341,11 +341,19 @@ class GRACEModule(BaseGCL):
         n = h1.shape[0]
         # largest sublane-aligned divisor ≤ 1024: small tiles multiply
         # lax.scan step overhead (6272 = 2⁷·7² picked 128 → 49 steps ×
-        # 2 directions; 896 → 7 steps)
+        # 2 directions; 896 → 7 steps). Prefer a divisor the fused
+        # Pallas pipeline accepts (ops/pallas/flashnce.fits) so e.g. an
+        # N divisible by 1024 doesn't overflow the tile VMEM budget and
+        # silently fall back to the XLA flash path.
         block = 0
         if n >= 2048:
-            block = max((b for b in range(8, 1025, 8) if n % b == 0),
-                        default=0)
+            from ..ops.pallas.flashnce import fits
+
+            d = h1.shape[1]
+            kern = [b for b in range(16, 1025, 8)
+                    if n % b == 0 and fits(n, d, b)]
+            block = max(kern) if kern else max(
+                (b for b in range(8, 1025, 8) if n % b == 0), default=0)
         return infonce_intraview_loss(h1, h2, batch.node_mask, block=block)
 
 
