@@ -82,7 +82,9 @@ def _fwd_kernel(tau, nj, a_ref, b_ref, aj_ref, col_ref, den_ref,
 
     @pl.when(j == nj - 1)
     def _():
-        den_ref[0, :] = (m_scr[:] + jnp.log(s_scr[:]))[:, 0]
+        # (block, 1) column write — same sublane orientation as the
+        # running stats, no lane transpose for Mosaic to lower
+        den_ref[:] = m_scr[:] + jnp.log(s_scr[:])
 
 
 def _softmax_cots(a, b, aj, colj, gd, dn, tau, diag, r0, c0):
@@ -102,8 +104,7 @@ def _bwd_rows_kernel(tau, nj, a_ref, b_ref, aj_ref, col_ref, gd_ref,
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
     blk = a_ref.shape[0]
-    gd = gd_ref[0, :][:, None]
-    dn = dn_ref[0, :][:, None]
+    gd, dn = gd_ref[:], dn_ref[:]                       # (block, 1) columns
     gi, gt = _softmax_cots(a_ref[:], b_ref[:], aj_ref[:], col_ref[0, :],
                            gd, dn, tau, i == j, i * blk, j * blk)
     acc_scr[:] += (
@@ -127,8 +128,7 @@ def _bwd_cols_kernel(tau, ni, a_ref, b_ref, aj_ref, col_ref, gd_ref,
         daj_scr[:] = jnp.zeros_like(daj_scr)
 
     blk = a_ref.shape[0]
-    gd = gd_ref[0, :][:, None]
-    dn = dn_ref[0, :][:, None]
+    gd, dn = gd_ref[:], dn_ref[:]                       # (block, 1) columns
     gi, gt = _softmax_cots(a_ref[:], b_ref[:], aj_ref[:], col_ref[0, :],
                            gd, dn, tau, i == j, i * blk, j * blk)
     a32 = a_ref[:].astype(jnp.float32)
@@ -158,6 +158,15 @@ def _tile_spec(block, d, which):
 
 def _row_spec(block, which):
     return pl.BlockSpec((1, block), {"i": lambda a, b: (a, 0),
+                                     "j": lambda a, b: (b, 0)}[which],
+                        memory_space=pltpu.VMEM)
+
+
+def _col_spec(block, which):
+    """(block, 1) column block of an (N, 1) array — sublane-oriented, so
+    per-row quantities (g_denom, denom) broadcast against (block, block)
+    logit tiles without a lane transpose."""
+    return pl.BlockSpec((block, 1), {"i": lambda a, b: (a, 0),
                                      "j": lambda a, b: (b, 0)}[which],
                         memory_space=pltpu.VMEM)
 
@@ -192,9 +201,8 @@ def _denom_impl(an, bn, col, block, tau):
         grid=grid,
         in_specs=[_tile_spec(block, d, "i"), _tile_spec(block, d, "j"),
                   _tile_spec(block, d, "j"), _row_spec(block, "j")],
-        out_specs=pl.BlockSpec((1, block), lambda i, j: (i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((nt, block), jnp.float32),
+        out_specs=_col_spec(block, "i"),
+        out_shape=jax.ShapeDtypeStruct((n, 1), jnp.float32),
         scratch_shapes=[pltpu.VMEM((block, 1), jnp.float32),
                         pltpu.VMEM((block, 1), jnp.float32)],
     )(an, bn, an, col2)
@@ -211,15 +219,15 @@ def _vjp_bwd(block, tau, res, g):
     n, d = an.shape
     nt = n // block
     col2 = col.reshape(nt, block)
-    gd2 = g.reshape(nt, block).astype(jnp.float32)
-    dn2 = den.reshape(nt, block)
+    gd2 = g.reshape(n, 1).astype(jnp.float32)
+    dn2 = den.reshape(n, 1)
 
     da_rows = pl.pallas_call(
         functools.partial(_bwd_rows_kernel, tau, nt),
         grid=(nt, nt),
         in_specs=[_tile_spec(block, d, "i"), _tile_spec(block, d, "j"),
                   _tile_spec(block, d, "j"), _row_spec(block, "j"),
-                  _row_spec(block, "i"), _row_spec(block, "i")],
+                  _col_spec(block, "i"), _col_spec(block, "i")],
         out_specs=pl.BlockSpec((block, d), lambda i, j: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, d), jnp.float32),
@@ -231,7 +239,7 @@ def _vjp_bwd(block, tau, res, g):
         grid=(nt, nt),
         in_specs=[_tile_spec(block, d, "j"), _tile_spec(block, d, "i"),
                   _tile_spec(block, d, "i"), _row_spec(block, "i"),
-                  _row_spec(block, "j"), _row_spec(block, "j")],
+                  _col_spec(block, "j"), _col_spec(block, "j")],
         out_specs=[pl.BlockSpec((block, d), lambda j, i: (j, 0),
                                 memory_space=pltpu.VMEM),
                    pl.BlockSpec((block, d), lambda j, i: (j, 0),
