@@ -263,3 +263,28 @@ def test_graph_sharded_halo_training_matches_all_gather(graph):
             jax.tree_util.tree_leaves_with_path(p_halo)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-3, atol=1e-5, err_msg=str(ka))
+
+
+def test_halo_plan_invariants(graph):
+    """Host-side check independent of the mesh: simulating the exchange
+    in numpy, every edge's remapped src resolves to exactly the row the
+    global id owns."""
+    from biomedkg_tpu.parallel.graph_shard import build_halo_plan
+
+    tg = graph
+    batch = FullGraphLoader(tg.graph, block_size=64).batch()
+    sharded = partition_graph(batch, num_shards=8,
+                              num_relations=tg.num_edge_types,
+                              block_size=64)
+    shard_n = sharded.x.shape[1]
+    plan = build_halo_plan(sharded, shard_n)
+    p_sh = sharded.x.shape[0]
+    x = np.arange(p_sh * shard_n, dtype=np.float32).reshape(p_sh, shard_n)
+
+    for q in range(p_sh):
+        # recv[p] = x rows p ships to q (the all_to_all result for q)
+        recv = np.stack([x[p][plan.send_idx[p, q]] for p in range(p_sh)])
+        x_aug = np.concatenate([x[q], recv.reshape(-1)])
+        got = x_aug[plan.src_remap[q]]
+        want = x.reshape(-1)[sharded.edge_index[q][0]]
+        np.testing.assert_array_equal(got, want)
