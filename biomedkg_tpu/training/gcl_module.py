@@ -174,10 +174,13 @@ def infonce_intraview_loss(h1, h2, node_mask, tau: float = 0.2,
         an, bn = _l2_normalize(a), _l2_normalize(b)
         neg = jnp.finfo(jnp.float32).min
         col = jnp.where(node_mask, 0.0, neg).astype(jnp.float32)
+        import os
+
         from ..ops.pallas import flashnce
 
         if ((jax.default_backend() in ("tpu", "axon")
              or flashnce._FORCE_KERNEL)
+                and not os.environ.get("BIOMEDKG_NO_FLASHNCE")
                 and flashnce.fits(an.shape[0], an.shape[1], block)):
             # fully-fused tile pipeline: only the (N,) denominators and
             # (block, d) operand tiles touch HBM (ops/pallas/flashnce.py);
