@@ -172,11 +172,16 @@ def _col_spec(block, which):
 
 
 def fits(n: int, d: int, block: int, itemsize: int = 4) -> bool:
-    """Conservative VMEM check: 3 operand tiles + 2 f32 logit tiles + the
-    f32 accumulators must fit the ~16 MB scoped budget."""
-    ops = 3 * block * d * itemsize
-    logits = 2 * block * block * 4
-    accs = 2 * block * d * 4
+    """Conservative VMEM check sized to the WORST kernel (cols backward):
+    double-buffered operand tiles (Pallas pipelines inputs), four live
+    (block, block) f32 logit tiles (inter/intra and their gi/gt
+    cotangents coexist), and four (block, d) f32 accumulators (2 scratch
+    + 2 output blocks). Interpret mode ignores VMEM, so this gate is the
+    only thing standing between the picker and a Mosaic scoped-vmem
+    failure on hardware — prefer undersized tiles over a crash."""
+    ops = 2 * 3 * block * d * itemsize
+    logits = 4 * block * block * 4
+    accs = 4 * block * d * 4
     return n % block == 0 and d % 128 == 0 and block % 16 == 0 \
         and ops + logits + accs < 13 * 1024 * 1024
 

@@ -72,8 +72,12 @@ def partition_graph(batch: GraphBatch, num_shards: int,
 
     xs, eis, ets, ems, brs, nms = [], [], [], [], [], []
     for p, (ei_p, et_p) in enumerate(parts):
-        # dummy edges must scatter into a masked local slot: route them to
-        # this shard's last node row (global id (p+1)*shard_n - 1).
+        # route dummy edges to this shard's LAST LOCAL row so their
+        # dst_local stays in [0, shard_n). NOTE: for p < P-1 that row can
+        # be a REAL node — zero contribution is guaranteed solely by the
+        # edge_mask zeroing both the message and the norm, not by the
+        # target row being a dummy (only the last shard's last row is
+        # the reserved pad node).
         pb = pad_graph_batch(
             np.zeros((1, 1), np.float32), ei_p, et_p,
             num_relations=num_relations, node_budget=n_pad,
@@ -163,29 +167,43 @@ def _exchange(x, axis, halo):
 
 
 def _encode_shard(layer_params, x, ei, et, em, brel, axis, shard_n,
-                  num_rel, halo=None):
+                  num_rel, halo=None, rng=None, drop_out=False):
     """Per-shard RGCN forward body (dst-local edges; one all_gather — or
     halo all_to_all — of the current feature shard per layer, the only
-    cross-device traffic)."""
+    cross-device traffic). ``rng`` enables the encoder's inter-layer
+    dropout(0.2) — same placement as models/encoders.RGCN.apply."""
+    from .. import nn
+
     my = jax.lax.axis_index(axis)
+    # per-(dst, rel) mean norm: dst/et/em are layer-invariant, so hoist
+    # the count scatter out of the layer loop; flat clip-mode 1-D take
+    # (2-D cnt[dst, et] indexing lowers to a scalar-path gather on TPU —
+    # same rationale as encoders.RGCN._edge_norm)
+    dst_local = ei[1] - my * shard_n
+    cnt = per_dst_relation_counts(dst_local, et, em, shard_n, num_rel)
+    flat_cnt = jnp.take(cnt.reshape(-1), dst_local * num_rel + et,
+                        mode="clip")
+    norm32 = em.astype(jnp.float32) / jnp.maximum(flat_cnt, 1.0)
     for i, lp in enumerate(layer_params):
         x_rows, remap = _exchange(x, axis, halo)
-        src, dst = (ei[0] if remap is None else remap), ei[1]
-        dst_local = dst - my * shard_n
+        src = ei[0] if remap is None else remap
         msg = jnp.take(x_rows, src, axis=0, mode="clip") \
             * em[:, None].astype(x_rows.dtype)
         h = relation_matmul(msg, lp["w_rel"], et, brel)
-        cnt = per_dst_relation_counts(dst_local, et, em, shard_n,
-                                      num_rel)
-        norm = em.astype(h.dtype) / jnp.maximum(
-            cnt[dst_local, et], 1.0)
-        agg = scatter_add(h * norm[:, None], dst_local, shard_n)
+        agg = scatter_add(h * norm32.astype(h.dtype)[:, None], dst_local,
+                          shard_n)
         x = jnp.dot(x, lp["w_root"],
                     preferred_element_type=jnp.float32
                     ).astype(x.dtype) + lp["b"] + agg
         if i < len(layer_params) - 1:
             x = jax.nn.relu(x)
+            if drop_out:
+                rng, sub = jax.random.split(rng)
+                x = nn.dropout(sub, x, 0.2, deterministic=False)
     return x
+
+
+_ENCODE_JIT_CACHE: dict = {}
 
 
 def sharded_rgcn_encode(encoder, params, sharded: ShardedGraph,
@@ -195,26 +213,34 @@ def sharded_rgcn_encode(encoder, params, sharded: ShardedGraph,
 
     Per layer: all_gather feature shards (or, with ``halo_plan``, the
     all_to_all halo exchange) → local relation grouped-GEMM → local
-    scatter (dst-partitioned edges never cross shards).
+    scatter (dst-partitioned edges never cross shards). The jitted
+    program is memoized per (encoder, mesh, axis, plan) identity so
+    repeated export calls don't retrace.
     """
     num_rel = encoder.num_relations
     shard_n = sharded.x.shape[1]
+    with_halo = halo_plan is not None
 
-    def per_shard(layer_params, x_shard, ei, et, em, brel, nmask,
-                  sidx, remap):
-        x_shard, ei, et = x_shard[0], ei[0].astype(jnp.int32), \
-            et[0].astype(jnp.int32)
-        em, brel = em[0], brel[0].astype(jnp.int32)
-        halo = None if halo_plan is None else (sidx[0], remap[0])
-        x = _encode_shard(layer_params, x_shard, ei, et, em, brel, axis,
-                          shard_n, num_rel, halo=halo)
-        return x[None]
+    key = (id(encoder), id(mesh), axis, with_halo, shard_n)
+    mapped = _ENCODE_JIT_CACHE.get(key)
+    if mapped is None:
+        def per_shard(layer_params, x_shard, ei, et, em, brel, nmask,
+                      sidx, remap):
+            x_shard, ei, et = x_shard[0], ei[0].astype(jnp.int32), \
+                et[0].astype(jnp.int32)
+            em, brel = em[0], brel[0].astype(jnp.int32)
+            halo = (sidx[0], remap[0]) if with_halo else None
+            x = _encode_shard(layer_params, x_shard, ei, et, em, brel,
+                              axis, shard_n, num_rel, halo=halo)
+            return x[None]
 
-    spec = P(axis)
-    mapped = shard_map(
-        per_shard, mesh,
-        in_specs=(P(), spec, spec, spec, spec, spec, spec, spec, spec),
-        out_specs=spec)
+        spec = P(axis)
+        mapped = jax.jit(shard_map(
+            per_shard, mesh,
+            in_specs=(P(), spec, spec, spec, spec, spec, spec, spec,
+                      spec),
+            out_specs=spec))
+        _ENCODE_JIT_CACHE[key] = mapped
 
     if halo_plan is None:
         p_sh = sharded.x.shape[0]
@@ -222,10 +248,10 @@ def sharded_rgcn_encode(encoder, params, sharded: ShardedGraph,
         remap = np.zeros(sharded.edge_type.shape, np.int32)
     else:
         sidx, remap = halo_plan.send_idx, halo_plan.src_remap
-    out = jax.jit(mapped)(params["layers"], sharded.x, sharded.edge_index,
-                          sharded.edge_type, sharded.edge_mask,
-                          sharded.block_rel, sharded.node_mask,
-                          jnp.asarray(sidx), jnp.asarray(remap))
+    out = mapped(params["layers"], sharded.x, sharded.edge_index,
+                 sharded.edge_type, sharded.edge_mask,
+                 sharded.block_rel, sharded.node_mask,
+                 jnp.asarray(sidx), jnp.asarray(remap))
     return out.reshape(-1, out.shape[-1])  # (N_pad, out_dim)
 
 
@@ -251,6 +277,10 @@ def make_sharded_train_step(encoder, decoder, tx, mesh: Mesh,
          to reduce-scatter; replicated params psum their cotangents) and
          a replicated adam update applies.
 
+    The encoder's ``drop_out`` config is honored (inter-layer
+    dropout(0.2), per-shard rng streams folded from the step rng — same
+    distribution as the single-device path's per-row masks).
+
     Returns ``step_fn(state, sharded, rng, fixed_neg=None)``;
     ``fixed_neg`` is an optional (P, 2, K, E_p) array of per-shard
     (src, dst) negative ids used by the correctness tests (production
@@ -275,8 +305,14 @@ def make_sharded_train_step(encoder, decoder, tx, mesh: Mesh,
             halo = None if halo_plan is None else (sidx[0], remap[0])
             enc_p = params["encoder"]["layers"]
             dec_p = params["decoder"]
+            my0 = jax.lax.axis_index(axis)
+            # per-shard dropout stream (rows differ per shard, so the
+            # masks may too — same distribution as the single-device path)
+            r_drop = jax.random.fold_in(jax.random.fold_in(rng, 7), my0)
             z_local = _encode_shard(enc_p, x, ei, et, em, brel, axis,
-                                    shard_n, num_rel, halo=halo)
+                                    shard_n, num_rel, halo=halo,
+                                    rng=r_drop,
+                                    drop_out=encoder.drop_out)
             z_full = jax.lax.all_gather(z_local, axis, tiled=True)
 
             src, dst = ei[0], ei[1]
