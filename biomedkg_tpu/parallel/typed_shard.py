@@ -28,9 +28,11 @@ from jax.sharding import PartitionSpec as P
 
 def typed_batch_shardings(batch, mesh: Mesh, axis: str = "dp"):
     """NamedSharding pytree for a TypedBatch: per-type node tables
-    row-sharded over ``axis`` (budgets are 8-aligned by the sampler's
-    probe, so any power-of-two mesh divides them), everything else
-    replicated."""
+    row-sharded over ``axis``, everything else replicated. NOTE: the
+    sampler's probe 8-aligns budgets, so meshes up to 8 devices divide
+    them evenly; larger axes may get GSPMD's implicit padding on the
+    last shard — pass explicit budgets rounded to the axis size to keep
+    shards balanced on 16+ device axes."""
     rows = NamedSharding(mesh, P(axis))
     rows2d = NamedSharding(mesh, P(axis, None))
     rep = NamedSharding(mesh, P())
@@ -51,38 +53,20 @@ def make_typed_spmd_step(encoder, decoder, tx, mesh: Mesh,
     (compiled ONCE against ``template_batch``'s static envelope — every
     sampler batch shares it).
 
-    Same math as training/typed_train.typed_saint_train's step (masked
-    BCE over the pos+neg concat on the concatenated tables); the only
-    difference is placement: GSPMD turns the per-signature gathers into
-    all-gathers of the source type's shard and the segment-sums into
-    sharded reductions.
+    SAME loss object as training/typed_train.typed_saint_train's step
+    (make_typed_batch_loss — one builder, the two paths cannot drift;
+    ``encoder.drop_out`` is honored); the only difference is placement:
+    GSPMD turns the per-signature gathers into all-gathers of the source
+    type's shard and the segment-sums into sharded reductions.
     """
-    from ..models.typed import concat_tables, typed_encode_batch
+    from ..training.typed_train import make_typed_batch_loss
 
     rep = NamedSharding(mesh, P())
+    batch_loss = make_typed_batch_loss(encoder, decoder, neg_ratio)
 
     def step(params, opt, rng, batch, flat_real, n_real):
-        def loss_fn(p):
-            tables = typed_encode_batch(p["encoder"], batch)
-            z = concat_tables(tables, list(batch.x.keys()))
-            src, dst, rel = batch.pos[0], batch.pos[1], batch.pos[2]
-            w = batch.pos[3].astype(jnp.float32)
-            pos = decoder.score(p["decoder"], z, src, dst, rel)
-            r_s, r_d = jax.random.split(rng)
-            shape = (neg_ratio,) + rel.shape
-            js = jax.random.randint(r_s, shape, 0, n_real)
-            jd = jax.random.randint(r_d, shape, 0, n_real)
-            neg = decoder.score_neg(p["decoder"], z, flat_real[js],
-                                    flat_real[jd], rel)
-            wsum = jnp.maximum(w.sum(), 1.0) * (1 + neg_ratio)
-            bce = (jnp.sum(-jax.nn.log_sigmoid(pos) * w)
-                   + jnp.sum(-jax.nn.log_sigmoid(-neg) * w[None, :])) \
-                / wsum
-            reg = sum(jnp.mean(v ** 2) for v in
-                      jax.tree_util.tree_leaves(p["decoder"]))
-            return bce + 1e-2 * (jnp.mean(z ** 2) + reg)
-
-        loss, grads = jax.value_and_grad(loss_fn)(params)
+        loss, grads = jax.value_and_grad(batch_loss)(
+            params, rng, batch, flat_real, n_real)
         updates, opt = tx.update(grads, opt, params)
         return optax.apply_updates(params, updates), opt, loss
 

@@ -89,6 +89,7 @@ class TypedSaintSampler:
 
         sg = sig_graph if sig_graph is not None else graph
         self._sig_keys = self._signatures(sg)
+        self._type_idx = {t: i for i, t in enumerate(self.type_names)}
         if budgets is None:
             budgets = self.probe_budgets(seed)
         self.node_budget: Dict[str, int] = budgets["nodes"]
@@ -171,54 +172,58 @@ class TypedSaintSampler:
         T = len(self.type_names)
         t_of = np.asarray(self.node_type_of[nodes], np.int32)
 
-        # per-type local position of every batch node
+        # per-type local position of every batch node; node overflow is an
+        # ERROR, matching pad_graph_batch's contract (silent head-drops
+        # would bias every overflowing batch against the same high-id
+        # nodes — re-probe or pass explicit budgets instead)
         local = np.zeros(len(nodes), np.int32)
-        n_real: Dict[str, int] = {}
         for ti, t in enumerate(self.type_names):
             sel = t_of == ti
             cnt = int(sel.sum())
+            if cnt > self.node_budget[t]:
+                raise ValueError(
+                    f"type {t!r} overflowed its probed node budget "
+                    f"({cnt} > {self.node_budget[t]}); re-probe with a "
+                    "larger margin or pass budgets= explicitly")
             local[sel] = np.arange(cnt, dtype=np.int32)
-            n_real[t] = cnt
 
         x_t, id_t, num_t, cnt_t = {}, {}, {}, {}
         for ti, t in enumerate(self.type_names):
             B = self.node_budget[t]
-            sel = np.flatnonzero(t_of == ti)[:B]
+            sel = np.flatnonzero(t_of == ti)
             ids = np.zeros(B, np.int32)
             ids[: len(sel)] = nodes[sel]
-            n_used = len(sel)
-            if n_real[t] > B:  # overflow nodes dropped (budget probe ×1.5)
-                n_real[t] = B
             feats = np.zeros((B,) + (g.x.shape[1:] if g.x is not None
                                      else (1,)), np.float32)
-            if g.x is not None and n_used:
-                feats[:n_used] = g.x[nodes[sel]]
+            if g.x is not None and len(sel):
+                feats[: len(sel)] = g.x[nodes[sel]]
             x_t[t] = feats
             id_t[t] = ids
-            num_t[t] = np.int32(n_used)
+            num_t[t] = np.int32(len(sel))
             cnt_t[t] = np.zeros((B, R), np.float32)
 
-        # edge split by signature (drop edges touching overflowed nodes)
+        # edge split by signature: one argsort + per-sig searchsorted
+        # (a per-sig full scan is O(S·E) on the per-step host hot path)
         st, dt = t_of[ei[0]], t_of[ei[1]]
         sl, dl = local[ei[0]], local[ei[1]]
-        in_budget = np.ones(et.shape[0], bool)
-        for ti, t in enumerate(self.type_names):
-            B = self.node_budget[t]
-            in_budget &= ~((st == ti) & (sl >= B))
-            in_budget &= ~((dt == ti) & (dl >= B))
         code = (st.astype(np.int64) * T + dt) * R + et
+        order_all = np.argsort(code, kind="stable")
+        sc = code[order_all]
+        kept = np.zeros(et.shape[0], bool)
         sigs: Dict[str, np.ndarray] = {}
-        dropped = int((~in_budget).sum())
         for k in self._sig_keys:
             s_name, r, t_name = parse_sig(k)
-            ts = self.type_names.index(s_name)
-            td = self.type_names.index(t_name)
+            ts = self._type_idx[s_name]
+            td = self._type_idx[t_name]
             c = (np.int64(ts) * T + td) * R + r
-            sel = np.flatnonzero((code == c) & in_budget)
+            lo = np.searchsorted(sc, c, "left")
+            hi = np.searchsorted(sc, c, "right")
+            sel = order_all[lo:hi]
             E = self.sig_budget[k]
             if len(sel) > E:
-                dropped += len(sel) - E
-                sel = sel[:E]
+                # uniform random subset — same unbiasedness contract as
+                # pad_graph_batch's edge subsampling
+                sel = self.rng.choice(sel, E, replace=False)
             blk = np.zeros((3, E), np.int32)
             if len(sel):
                 order = np.argsort(dl[sel], kind="stable")
@@ -228,14 +233,22 @@ class TypedSaintSampler:
                 blk[0, len(sel):] = blk[0, len(sel) - 1]
                 blk[1, len(sel):] = blk[1, len(sel) - 1]
                 np.add.at(cnt_t[t_name], (dl[sel], et[sel]), 1.0)
+                kept[sel] = True
             sigs[k] = blk
-        self.dropped_edges += dropped
+        # everything not kept — sig-budget overflow AND edges of
+        # signatures absent from the static vocabulary — is dropped from
+        # BOTH message passing and supervision (an edge the encoder never
+        # propagated must not be trained on)
+        self.dropped_edges += int(et.shape[0] - kept.sum())
 
         # supervision edges in batch-global (type-blocked) coordinates
         base = np.asarray([self.type_base[self.type_names[i]]
                            for i in range(T)], np.int32)
-        keep = np.flatnonzero(in_budget)[: self.pos_budget]
-        self.dropped_edges += max(0, int(in_budget.sum()) - len(keep))
+        keep = np.flatnonzero(kept)
+        if len(keep) > self.pos_budget:
+            self.dropped_edges += len(keep) - self.pos_budget
+            keep = np.sort(self.rng.choice(keep, self.pos_budget,
+                                           replace=False))
         pos = np.zeros((4, self.pos_budget), np.int32)
         if len(keep):
             pos[0, : len(keep)] = base[st[keep]] + sl[keep]

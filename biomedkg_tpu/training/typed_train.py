@@ -116,6 +116,41 @@ def _typed_binary_test(params, typed, enc, dec, data_module, neg_ratio,
     return out
 
 
+def make_typed_batch_loss(encoder, decoder, neg_ratio: int):
+    """Shared typed-SAINT loss: masked BCE over the pos+neg concat on the
+    concatenated per-type tables, iid corruption over the real batch
+    rows, decoder/table L2. Used by BOTH the single-device jitted step
+    (typed_saint_train) and the GSPMD row-sharded step
+    (parallel/typed_shard.make_typed_spmd_step) so the two paths cannot
+    drift. Honors ``encoder.drop_out`` (inter-layer dropout(0.2), same
+    placement as the homogeneous RGCN path)."""
+
+    def loss_fn(p, rng, batch, flat_real, n_real):
+        r_drop, r_s, r_d = jax.random.split(rng, 3)
+        tables = typed_encode_batch(p["encoder"], batch, rng=r_drop,
+                                    training=True,
+                                    drop_out=encoder.drop_out)
+        z = concat_tables(tables, list(batch.x.keys()))
+        src, dst, rel = batch.pos[0], batch.pos[1], batch.pos[2]
+        w = batch.pos[3].astype(jnp.float32)
+        pos = decoder.score(p["decoder"], z, src, dst, rel)
+        shape = (neg_ratio,) + rel.shape
+        js = jax.random.randint(r_s, shape, 0, n_real)
+        jd = jax.random.randint(r_d, shape, 0, n_real)
+        neg = decoder.score_neg(p["decoder"], z, flat_real[js],
+                                flat_real[jd], rel)
+        # masked BCE over the pos+neg concat (same element weighting as
+        # the full-batch path / KGEModule)
+        wsum = jnp.maximum(w.sum(), 1.0) * (1 + neg_ratio)
+        bce = (jnp.sum(-jax.nn.log_sigmoid(pos) * w)
+               + jnp.sum(-jax.nn.log_sigmoid(-neg) * w[None, :])) / wsum
+        reg = sum(jnp.mean(v ** 2) for v in
+                  jax.tree_util.tree_leaves(p["decoder"]))
+        return bce + 1e-2 * (jnp.mean(z ** 2) + reg)
+
+    return loss_fn
+
+
 def typed_saint_train(model, data_module, cfg):
     """Typed-table SAINT sub-batch training (ROADMAP #7):
     ``train_kge.py typed_tables=true typed_loader=saint``.
@@ -148,30 +183,12 @@ def typed_saint_train(model, data_module, cfg):
                      optax.adam(model.lr))
     opt = tx.init(params)
 
+    batch_loss = make_typed_batch_loss(enc, dec, neg_ratio)
+
     @jax.jit
     def step(params, opt, rng, batch, flat_real, n_real):
-        def loss_fn(p):
-            tables = typed_encode_batch(p["encoder"], batch)
-            z = concat_tables(tables, list(batch.x.keys()))
-            src, dst, rel = batch.pos[0], batch.pos[1], batch.pos[2]
-            w = batch.pos[3].astype(jnp.float32)
-            pos = dec.score(p["decoder"], z, src, dst, rel)
-            r_s, r_d = jax.random.split(rng)
-            shape = (neg_ratio,) + rel.shape
-            js = jax.random.randint(r_s, shape, 0, n_real)
-            jd = jax.random.randint(r_d, shape, 0, n_real)
-            neg = dec.score_neg(p["decoder"], z, flat_real[js],
-                                flat_real[jd], rel)
-            # masked BCE over the pos+neg concat (same element weighting
-            # as the full-batch path / KGEModule)
-            wsum = jnp.maximum(w.sum(), 1.0) * (1 + neg_ratio)
-            bce = (jnp.sum(-jax.nn.log_sigmoid(pos) * w)
-                   + jnp.sum(-jax.nn.log_sigmoid(-neg) * w[None, :])) / wsum
-            reg = sum(jnp.mean(v ** 2) for v in
-                      jax.tree_util.tree_leaves(p["decoder"]))
-            return bce + 1e-2 * (jnp.mean(z ** 2) + reg)
-
-        loss, grads = jax.value_and_grad(loss_fn)(params)
+        loss, grads = jax.value_and_grad(batch_loss)(
+            params, rng, batch, flat_real, n_real)
         updates, opt = tx.update(grads, opt, params)
         return optax.apply_updates(params, updates), opt, loss
 
