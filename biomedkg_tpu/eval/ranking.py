@@ -53,16 +53,6 @@ _BUCKET_LADDER = (4096, 16384, 65536, 262144)
 
 
 @jax.jit
-def _rank_chunk(scores, true_scores, valid):
-    """Mean-tie filtered ranks from a (C, N) score matrix with the filter
-    already applied as -inf (the true entity included in the filter)."""
-    higher = jnp.sum(scores > true_scores[:, None], axis=1)
-    ties = jnp.sum(scores == true_scores[:, None], axis=1)
-    rank = 1.0 + higher + 0.5 * ties
-    return jnp.where(valid, rank, 0.0)
-
-
-@jax.jit
 def _total_counts(scores, true_scores):
     """(higher, ties) against ALL candidates — one (C, N) pass."""
     higher = jnp.sum((scores > true_scores[:, None]).astype(jnp.float32),
@@ -102,6 +92,10 @@ def _direction_ranks(score_all_fn, score_fn, dec_params, z, anchors, rels,
     to the per-chunk host loop when the flat filter-pair table would not
     fit device memory."""
     num = len(anchors)
+    # the filter gathers index the (chunk, N) score matrix FLAT in int32
+    # (x64 disabled): keep chunk*N < 2^31 or the index wraps negative and
+    # mode="clip" silently counts against scores[0, 0]
+    chunk = max(1, min(chunk, (2**31 - 1) // max(z.shape[0], 1)))
     num_pad = ((num + chunk - 1) // chunk) * chunk
     pad = num_pad - num
     anchors_p = np.concatenate([anchors, np.zeros(pad, anchors.dtype)])
@@ -110,30 +104,38 @@ def _direction_ranks(score_all_fn, score_fn, dec_params, z, anchors, rels,
     valid = np.concatenate([np.ones(num, bool), np.zeros(pad, bool)])
     n_chunks = num_pad // chunk
 
-    # host: flat per-chunk filter pairs (row-in-chunk, candidate)
+    # host: per-chunk filter pairs (row-in-chunk, candidate), built ONCE
+    # and reused verbatim by whichever path runs below
     offs = np.zeros(n_chunks, np.int32)
     cnts = np.zeros(n_chunks, np.int32)
-    rows_l, cols_l = [], []
+    chunk_rows, chunk_cols = [], []
     total = 0
     for ci in range(n_chunks):
         offs[ci] = total
         base = ci * chunk
+        rl, cl = [], []
         for i in range(chunk):
             if not valid[base + i]:
                 continue
             known = filt.get((int(anchors_p[base + i]),
                               int(rels_p[base + i])))
             if known is not None:
-                rows_l.append(np.full(len(known), i, np.int32))
-                cols_l.append(known.astype(np.int32))
-                total += len(known)
-        cnts[ci] = total - offs[ci]
+                rl.append(np.full(len(known), i, np.int32))
+                cl.append(known.astype(np.int32))
+        cr = np.concatenate(rl) if rl else np.zeros(0, np.int32)
+        chunk_rows.append(cr)
+        chunk_cols.append(np.concatenate(cl) if cl
+                          else np.zeros(0, np.int32))
+        total += len(cr)
+        cnts[ci] = len(cr)
     maxp = int(cnts.max()) if n_chunks else 0
     maxp = max(8, 1 << (maxp - 1).bit_length()) if maxp else 8
 
     if total * 4 * 2 <= 2 << 30:   # flat pair table fits device memory
-        frows = np.concatenate(rows_l) if rows_l else np.zeros(0, np.int32)
-        fcols = np.concatenate(cols_l) if cols_l else np.zeros(0, np.int32)
+        frows = np.concatenate(chunk_rows) if chunk_rows \
+            else np.zeros(0, np.int32)
+        fcols = np.concatenate(chunk_cols) if chunk_cols \
+            else np.zeros(0, np.int32)
         # dynamic_slice pads: slices of size maxp never run out of bounds
         frows = np.concatenate([frows, np.zeros(maxp, np.int32)])
         fcols = np.concatenate([fcols, np.zeros(maxp, np.int32)])
@@ -148,7 +150,7 @@ def _direction_ranks(score_all_fn, score_fn, dec_params, z, anchors, rels,
     score_one = jax.jit(score_fn)
 
     ranks = []
-    for lo in range(0, num_pad, chunk):
+    for ci, lo in enumerate(range(0, num_pad, chunk)):
         a = anchors_p[lo:lo + chunk]
         r = rels_p[lo:lo + chunk]
         t = targets_p[lo:lo + chunk]
@@ -158,25 +160,16 @@ def _direction_ranks(score_all_fn, score_fn, dec_params, z, anchors, rels,
                            jnp.asarray(r))
         scores = score_all(dec_params, z, jnp.asarray(a), jnp.asarray(r))
 
-        # host-built filter pairs (row in chunk, candidate id), padded to
-        # a FIXED bucket ladder (≤ len(ladder) compiled count programs;
-        # variable shapes recompiled every chunk — ~15 s each over the
-        # tunneled chip); the filtered-candidate counts subtract from the
-        # all-candidate counts (_filter_counts — scatter-free, the
-        # round-2 scatter chain measured 6.0 ms/triple-dir at PrimeKG++
-        # fan-outs). Pads carry pair_valid=0.
-        rows, cols = [], []
-        for i in range(chunk):
-            if not v[i]:
-                continue
-            known = filt.get((int(a[i]), int(r[i])))
-            if known is not None:
-                rows.append(np.full(len(known), i))
-                cols.append(known)
+        # the pre-built per-chunk filter pairs, padded to a FIXED bucket
+        # ladder (≤ len(ladder) compiled count programs; variable shapes
+        # recompiled every chunk — ~15 s each over the tunneled chip);
+        # the filtered-candidate counts subtract from the all-candidate
+        # counts (_filter_counts — scatter-free, the round-2 scatter
+        # chain measured 6.0 ms/triple-dir at PrimeKG++ fan-outs). Pads
+        # carry pair_valid=0.
+        rows_np, cols_np = chunk_rows[ci], chunk_cols[ci]
         higher, ties = _total_counts(scores, true_s)
-        if rows:
-            rows_np = np.concatenate(rows).astype(np.int32)
-            cols_np = np.concatenate(cols).astype(np.int32)
+        if len(rows_np):
             for lo2 in range(0, len(rows_np), _BUCKET_LADDER[-1]):
                 rpart = rows_np[lo2:lo2 + _BUCKET_LADDER[-1]]
                 cpart = cols_np[lo2:lo2 + _BUCKET_LADDER[-1]]
@@ -197,8 +190,7 @@ def _direction_ranks(score_all_fn, score_fn, dec_params, z, anchors, rels,
         rank = 1.0 + higher + 0.5 * ties
         ranks.append(np.asarray(
             jnp.where(jnp.asarray(v), rank, 0.0)))
-    out = np.concatenate(ranks)
-    return out[np.concatenate([np.ones(num, bool), np.zeros(pad, bool)])]
+    return np.concatenate(ranks)[:num]
 
 
 def _scanned_direction(score_all_fn, score_fn, dec_params, z, chunk, maxp,

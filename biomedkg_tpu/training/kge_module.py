@@ -52,6 +52,15 @@ def _mix_factor(e: int, bound: Optional[int] = None) -> int:
     for d in range(1, bound + 1):
         if e % d == 0:
             best = d
+    if best == 1 and e > 4:
+        import warnings
+
+        warnings.warn(
+            f"edge budget {e} has no divisor in [2, {bound}]: the "
+            "stride-transpose negative pairing degrades to identity, "
+            "re-coupling relation runs with narrow source bands (slower "
+            "convergence — see _forward_loss). Pad the edge budget to a "
+            "composite size.", stacklevel=2)
     return best
 
 
@@ -60,7 +69,11 @@ def _sorted_uniform_sample(rng, ke: int, num_real_nodes):
     construction (no device sort)."""
     gaps = -jnp.log(jax.random.uniform(rng, (ke + 1,), minval=1e-12))
     cum = jnp.cumsum(gaps)
-    return (cum[:-1] / cum[-1] * num_real_nodes).astype(jnp.int32)
+    # clamp: the last ratios round to exactly 1.0f whenever the final
+    # exponential gap < cum[-1]·2⁻²⁵ (~1.5% of steps at ke≈5e5), which
+    # would emit the invalid id num_real_nodes (the pad row)
+    return jnp.minimum((cum[:-1] / cum[-1] * num_real_nodes)
+                       .astype(jnp.int32), num_real_nodes - 1)
 
 
 def sample_negatives_sorted(r_src, r_dst, r_off, ratio: int,
@@ -243,12 +256,16 @@ class KGEModule(JittedStepsMixin):
         sorted-segment aggregation). Must match the loaders'
         ``edge_layout``."""
         assert value in ("relation", "dst"), value
-        if value == "dst" and not hasattr(self.model.encoder,
-                                          "edge_layout"):
+        # support = the encoder's OWN __init__ defined the attribute;
+        # assigning here must not create it (that would defeat this
+        # guard for the next set)
+        supported = hasattr(self.model.encoder, "edge_layout")
+        if value == "dst" and not supported:
             raise ValueError(
                 f"{type(self.model.encoder).__name__} requires "
                 f"relation-blocked batches (layout='relation')")
-        self.model.encoder.edge_layout = value
+        if supported:
+            self.model.encoder.edge_layout = value
         self._jit_cache.clear()
 
     @property
@@ -258,7 +275,13 @@ class KGEModule(JittedStepsMixin):
     @dst_bwd.setter
     def dst_bwd(self, value: str):
         assert value in ("scatter", "perm", "agg"), value
-        self.model.encoder.dst_bwd = value
+        supported = hasattr(self.model.encoder, "dst_bwd")
+        if value != "scatter" and not supported:
+            raise ValueError(
+                f"{type(self.model.encoder).__name__} has no dst-layout "
+                f"backward variants (dst_bwd must stay 'scatter')")
+        if supported:
+            self.model.encoder.dst_bwd = value
         self._jit_cache.clear()
 
     @property
@@ -619,14 +642,21 @@ class KGEModule(JittedStepsMixin):
 
     def encode(self, params, batch):
         """Deterministic full forward (reference KGEModule.forward,
-        kge_module.py:104-107) for embedding export."""
-        @jax.jit
-        def fwd(p, b):
-            b = self._widen(b)
-            x = self.fusion_fn(p, self._batch_features(b), training=False)
-            etype, block_rel = self._effective_types(b)
-            return self.model.encode(p["model"], x, b.edge_index, etype,
-                                     b.edge_mask, block_rel, training=False)
+        kge_module.py:104-107) for embedding export. Jitted once per
+        module via _jit_cache (a per-call @jax.jit closure would retrace
+        the full-graph forward on every export/serving call)."""
+        fwd = self._jit_cache.get("encode")
+        if fwd is None:
+            @jax.jit
+            def fwd(p, b):
+                b = self._widen(b)
+                x = self.fusion_fn(p, self._batch_features(b),
+                                   training=False)
+                etype, block_rel = self._effective_types(b)
+                return self.model.encode(p["model"], x, b.edge_index,
+                                         etype, b.edge_mask, block_rel,
+                                         training=False)
+            self._jit_cache["encode"] = fwd
 
         return fwd(params, batch)
 
