@@ -115,7 +115,7 @@ class TransE(_Decoder):
                 and jax.default_backend() in ("tpu", "axon")
                 and z.dtype == jnp.bfloat16
                 and z.shape[1] % 128 == 0        # lane-aligned blocks
-                and neg_src.shape[0] % negscore.block_for("transe") == 0
+                and neg_src.shape[0] % negscore.BLOCK == 0
                 and negscore.fits(z.shape[0], z.shape[1],
                                   self.num_relations)):
             kern = (negscore.transe_neg_scores_ds if dst_sorted
@@ -346,7 +346,7 @@ class RotatE(_Decoder):
                 and jax.default_backend() in ("tpu", "axon")
                 and z.dtype == jnp.bfloat16
                 and self.hidden_channels % 256 == 0  # lane-aligned halves
-                and neg_src.shape[0] % negscore.block_for("rotate") == 0
+                and neg_src.shape[0] % negscore.BLOCK == 0
                 and negscore.fits(z.shape[0], z.shape[1],
                                   self.num_relations)):
             kern = (negscore.rotate_neg_scores_ds if dst_sorted

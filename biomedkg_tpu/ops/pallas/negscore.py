@@ -65,17 +65,18 @@ BILINEAR_MODES = ("distmult", "complex")
 DISTANCE_MODES = ("transe", "rotate")
 
 
-def block_for(mode: str) -> int:
-    return BLOCK
-
-
 def fits(num_nodes: int, d: int, num_relations: int) -> bool:
     n_pad = _round_up(max(num_nodes, WINDOW), ALIGN)
     z_bytes = n_pad * d * 2                     # bf16 table
     acc_bytes = n_pad * d * 4                   # f32 dz accumulator (bwd)
     stream = BLOCK * d * (2 + 2) * 2            # t in + dt out, 2 buffers
+    # per-chunk (R, BLOCK) temporaries: the f32 projection `pt` in the
+    # bilinear forward and the one-hot `ohr` (bf16 matmul operand) in the
+    # backward — large relation vocabularies must fall back, not blow the
+    # scoped-VMEM budget at compile time
+    rel_tmp = num_relations * BLOCK * (4 + 2)
     return z_bytes + acc_bytes + stream + num_relations * d * 8 \
-        < VMEM_BUDGET
+        + rel_tmp < VMEM_BUDGET
 
 
 
@@ -371,7 +372,7 @@ def _bwd_kernel_ds(mode, n_pad, lo_ref, ids_ref, rel_ref, nd_ref, ds_ref,
 
 
 def _fwd_call_ds(mode, z, ns, nd, rel_ids, rel_emb):
-    block = block_for(mode)
+    block = BLOCK
     num_chunks, chunks8, n_pad, zb, lo_blocks, tiles = _prep(
         z, ns, rel_ids, block)
     d = z.shape[1]
@@ -408,7 +409,7 @@ def _fwd_call_ds(mode, z, ns, nd, rel_ids, rel_emb):
 
 
 def _bwd_call_ds(mode, z, ns, nd, rel_ids, rel_emb, ds):
-    block = block_for(mode)
+    block = BLOCK
     num_chunks, chunks8, n_pad, zb, lo_blocks, tiles = _prep(
         z, ns, rel_ids, block)
     d = z.shape[1]
@@ -531,7 +532,7 @@ def _prep(z, ns, rel_ids, block):
 
 
 def _fwd_call(mode, z, ns, t_rows, rel_ids, rel_emb):
-    block = block_for(mode)
+    block = BLOCK
     num_chunks, chunks8, n_pad, zb, lo_blocks, tiles = _prep(
         z, ns, rel_ids, block)
     d = z.shape[1]
@@ -560,8 +561,7 @@ def _fwd_call(mode, z, ns, t_rows, rel_ids, rel_emb):
         cost_estimate=pl.CostEstimate(
             flops=2 * ns.shape[0] * (WINDOW + r) * d,
             bytes_accessed=t_rows.size * 2 + n_pad * d * 2,
-            transcendentals=(ns.shape[0] * rel_emb.shape[1] * 2
-                             if mode == "rotate" else 0),
+            transcendentals=0,  # [cos|sin] table hoisted out of the kernel
         ),
     )(lo_blocks, tiles(ns.astype(jnp.int32), -1),
       tiles(rel_ids.astype(jnp.int32), 0), t_rows.astype(jnp.bfloat16),
@@ -572,7 +572,7 @@ def _fwd_call(mode, z, ns, t_rows, rel_ids, rel_emb):
 def _bwd_call(mode, z, ns, t_rows, rel_ids, rel_emb, ds, nd=None):
     """Returns (dz_src, dre, dt) in streamed mode (nd None) or
     (dz_src_and_dst, dre, None) in dense-dst mode (small envelopes)."""
-    block = block_for(mode)
+    block = BLOCK
     num_chunks, chunks8, n_pad, zb, lo_blocks, tiles = _prep(
         z, ns, rel_ids, block)
     d = z.shape[1]
@@ -615,8 +615,7 @@ def _bwd_call(mode, z, ns, t_rows, rel_ids, rel_emb, ds, nd=None):
             cost_estimate=pl.CostEstimate(
                 flops=2 * ns.shape[0] * (2 * WINDOW + n_pad + 2 * r) * d,
                 bytes_accessed=t_rows.size * 2 + n_pad * d * 6,
-                transcendentals=(ns.shape[0] * dr * 2
-                                 if mode == "rotate" else 0),
+                transcendentals=0,  # hoisted [cos|sin] table
             ),
         )(lo_blocks, tiles(ns.astype(jnp.int32), -1),
           tiles(rel_ids.astype(jnp.int32), 0),
@@ -662,8 +661,7 @@ def _bwd_call(mode, z, ns, t_rows, rel_ids, rel_emb, ds, nd=None):
         cost_estimate=pl.CostEstimate(
             flops=2 * ns.shape[0] * (2 * WINDOW + 2 * r) * d,
             bytes_accessed=t_rows.size * 4 + n_pad * d * 6,
-            transcendentals=(ns.shape[0] * dr * 2
-                             if mode == "rotate" else 0),
+            transcendentals=0,  # hoisted [cos|sin] table
         ),
     )(lo_blocks, tiles(ns.astype(jnp.int32), -1),
       tiles(rel_ids.astype(jnp.int32), 0), t_rows.astype(jnp.bfloat16),
