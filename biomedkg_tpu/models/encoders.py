@@ -33,6 +33,12 @@ from ..ops import (
     sorted_segment_sum,
 )
 
+# dst_bwd="perm" tuning: windows per chunk and the VMEM budget for the
+# (N·R, dout) sorted-reduce output of the src-keyed backward (must stay
+# consistent with ops/pallas/segsum.py's scoped-VMEM sharding rules)
+PERM_BWD_WINDOWS = 3
+PERM_BWD_VMEM = 13 * 1024 * 1024
+
 
 def _layer_dims(in_dim, hidden_dim, out_dim, num_hidden_layers):
     dims = [(in_dim, hidden_dim)]
@@ -100,9 +106,9 @@ class RGCN:
         lowers to a slow scalar-path gather fusion on TPU."""
         dst = edge_index[1]
         if self.edge_layout == "dst":
-            cnt2d = self._dst_rel_counts(dst, edge_type, edge_mask,
-                                         num_nodes)
-            flat_cnt = self._count_lookup(cnt2d, dst, edge_type)
+            ohr = self._rel_onehot(edge_type)
+            cnt2d = self._dst_rel_counts(dst, edge_mask, num_nodes, ohr)
+            flat_cnt = self._count_lookup(cnt2d, dst, ohr)
         else:
             cnt = per_dst_relation_counts(dst, edge_type, edge_mask,
                                           num_nodes, self.num_relations)
@@ -111,22 +117,24 @@ class RGCN:
                                 mode="clip")
         return edge_mask.astype(jnp.float32) / jnp.maximum(flat_cnt, 1.0)
 
-    def _dst_rel_counts(self, dst, edge_type, edge_mask, num_nodes):
+    def _dst_rel_counts(self, dst, edge_mask, num_nodes, ohr):
         """(N, R) per-(dst, rel) real-edge counts via the sorted kernel
         (dst-sorted edges; the 1-element count scatter/gather pair are
-        scalar-path fusions worth ~0.8 ms/step — round-2 trace)."""
-        ohr = (edge_type[:, None]
-               == jnp.arange(self.num_relations,
-                             dtype=edge_type.dtype)[None, :])
+        scalar-path fusions worth ~0.8 ms/step — round-2 trace). ``ohr``
+        is the (E, R) relation one-hot from _rel_onehot — built ONCE per
+        (edges, relation-ids) pair and shared with _count_lookup so the
+        count table and the lookup cannot diverge."""
         ohr_f = (ohr & edge_mask[:, None].astype(bool)).astype(jnp.float32)
         return sorted_segment_sum(ohr_f, dst, num_nodes, 4)  # (N, R)
 
+    def _rel_onehot(self, edge_type):
+        return (edge_type[:, None]
+                == jnp.arange(self.num_relations,
+                              dtype=edge_type.dtype)[None, :])
+
     @staticmethod
-    def _count_lookup(cnt2d, dst, edge_type):
+    def _count_lookup(cnt2d, dst, ohr):
         """Per-edge count as a WIDE row gather + one-hot select."""
-        ohr = (edge_type[:, None]
-               == jnp.arange(cnt2d.shape[1],
-                             dtype=edge_type.dtype)[None, :])
         rows = take_rows(cnt2d, dst)                          # (E, R)
         return jnp.sum(jnp.where(ohr, rows, 0.0), axis=1)
 
@@ -156,7 +164,7 @@ class RGCN:
             flat = src * self.num_relations + edge_type.astype(jnp.int32)
             h = take_rows_via_perm(
                 h_all.reshape(-1, h_all.shape[-1]), flat, src_pos, key2,
-                3, 13 * 1024 * 1024)
+                PERM_BWD_WINDOWS, PERM_BWD_VMEM)
             h = h * edge_mask[:, None].astype(h.dtype)
         elif impl == "node":
             # R dense (N, din) @ (din, dout) MXU matmuls, then a width-dout
@@ -201,12 +209,12 @@ class RGCN:
             src, dst = edge_index[0], edge_index[1]
             se = src_edges.astype(jnp.int32)
             s2, d2, r2, m2 = se[0], se[1], se[2], se[3]
-            cnt2d = self._dst_rel_counts(dst, edge_type, edge_mask,
-                                         num_nodes)
+            ohr = self._rel_onehot(edge_type)
+            cnt2d = self._dst_rel_counts(dst, edge_mask, num_nodes, ohr)
             norm = edge_mask.astype(jnp.float32) / jnp.maximum(
-                self._count_lookup(cnt2d, dst, edge_type), 1.0)
+                self._count_lookup(cnt2d, dst, ohr), 1.0)
             norm2 = m2.astype(jnp.float32) / jnp.maximum(
-                self._count_lookup(cnt2d, d2, r2), 1.0)
+                self._count_lookup(cnt2d, d2, self._rel_onehot(r2)), 1.0)
             key = dst * r + edge_type
             key2 = d2 * r + r2
 
@@ -281,11 +289,9 @@ class RGAT:
                 "w_rel": nn.xavier_uniform(
                     r1, (self.num_relations, din, self.num_heads * dout)),
                 "att_src": nn.xavier_uniform(
-                    r2, (self.num_relations, self.num_heads, dout)
-                ).reshape(self.num_relations, self.num_heads, dout),
+                    r2, (self.num_relations, self.num_heads, dout)),
                 "att_dst": nn.xavier_uniform(
-                    r3, (self.num_relations, self.num_heads, dout)
-                ).reshape(self.num_relations, self.num_heads, dout),
+                    r3, (self.num_relations, self.num_heads, dout)),
                 "b": jnp.zeros((dout,)),
             })
         return {"layers": layers}
@@ -354,32 +360,44 @@ class GCNEncoder:
             })
         return {"layers": layers}
 
-    def _conv(self, lp, x, edge_index, edge_mask):
+    def _edge_norm(self, edge_index, edge_mask, num_nodes, dtype):
+        """Symmetric D^{-1/2}(A)D^{-1/2} edge weights + 1/deg self-loop
+        — layer-invariant, so ``apply`` hoists it out of the layer loop
+        (same rationale as RGCN._edge_norm: XLA does not CSE the
+        per-layer count scatter)."""
         src, dst = edge_index[0], edge_index[1]
-        num_nodes = x.shape[0]
-        h = jnp.dot(x, lp["w"], preferred_element_type=jnp.float32).astype(x.dtype)
-        em = edge_mask.astype(h.dtype)
-        deg = scatter_add(em[:, None], dst, num_nodes)[:, 0] + 1.0  # +self-loop
+        em = edge_mask.astype(dtype)
+        deg = scatter_add(em[:, None], dst, num_nodes)[:, 0] + 1.0
         dis = jax.lax.rsqrt(deg)
         # clip-mode takes: [] indexing lowers to slow scalar-path gathers
         norm_e = jnp.take(dis, src, mode="clip") \
             * jnp.take(dis, dst, mode="clip") * em
+        return norm_e, (1.0 / deg)
+
+    def _conv(self, lp, x, edge_index, edge_mask, norm_e, self_w):
+        src, dst = edge_index[0], edge_index[1]
+        num_nodes = x.shape[0]
+        h = jnp.dot(x, lp["w"], preferred_element_type=jnp.float32).astype(x.dtype)
         msg = take_rows(h, src) * norm_e[:, None]
         if self.edge_layout == "dst":
             agg = sorted_segment_sum(msg, dst, num_nodes).astype(h.dtype)
         else:
             agg = scatter_add(msg, dst, num_nodes)
-        agg = agg + h * (1.0 / deg)[:, None]  # self-loop term
+        agg = agg + h * self_w[:, None]  # self-loop term
         return agg + lp["b"]
 
     def apply(self, params, x, edge_index, edge_mask,
               *, rng: Optional[jax.Array] = None, training: bool = False):
         edge_index = edge_index.astype(jnp.int32)
         layers = params["layers"]
+        norm_e, self_w = self._edge_norm(edge_index, edge_mask,
+                                         x.shape[0], x.dtype)
         for lp in layers[:-1]:
-            x = jax.nn.relu(self._conv(lp, x, edge_index, edge_mask))
+            x = jax.nn.relu(self._conv(lp, x, edge_index, edge_mask,
+                                       norm_e, self_w))
             if self.drop_out:
                 rng, sub = (jax.random.split(rng) if rng is not None
                             else (None, None))
                 x = nn.dropout(sub, x, 0.2, deterministic=not training)
-        return self._conv(layers[-1], x, edge_index, edge_mask)
+        return self._conv(layers[-1], x, edge_index, edge_mask, norm_e,
+                          self_w)

@@ -39,7 +39,8 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _kernel(num_win, n_pad, lo_ref, ids_ref, data_ref, out_ref):
+def _kernel(n_pad, lo_ref, ids_ref, data_ref, out_ref):
+    # window count is carried by the grid's third dimension, not a param
     c = pl.program_id(1)
     w = pl.program_id(2)
 
@@ -98,7 +99,7 @@ def _segsum_pallas(data, ids, lo_blocks, num_out_padded, num_win,
                                lambda j, c, w, lo: (0, j),
                                memory_space=pltpu.VMEM),
     )
-    kernel = functools.partial(_kernel, num_win, num_out_padded)
+    kernel = functools.partial(_kernel, num_out_padded)
     call = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -200,14 +201,17 @@ def _segsum_kernel_path(data, ids, num_segments, max_windows=MAX_WINDOWS,
     def _padded_bytes(ds):
         return n_pad * max(ds, 128) * 4
 
+    # largest feature shard that fits the budget: any divisor of d that
+    # is a multiple of 128 qualifies (Mosaic requires lane-aligned
+    # trailing block dims unless the block spans the whole axis) — a
+    # halving-only search missed e.g. 768 → 256 (768 = 3×256)
     d_shard = d
-    while _padded_bytes(d_shard) > budget and d_shard % 256 == 0:
-        d_shard //= 2          # halving a ×256 shard keeps it ×128
-    if _padded_bytes(d_shard) > budget \
-            or (d_shard != d and d_shard % 128):
-        # Mosaic requires lane-aligned (×128) trailing block dims unless
-        # the block spans the whole axis — cede rather than crash
-        return _segsum_xla(data, ids, num_segments)
+    if _padded_bytes(d_shard) > budget:
+        cands = [s for s in range(128, d, 128)
+                 if d % s == 0 and _padded_bytes(s) <= budget]
+        if not cands:
+            return _segsum_xla(data, ids, num_segments)  # cede, not crash
+        d_shard = max(cands)
 
     out = _segsum_pallas(data, ids, lo_blocks, n_pad, num_win,
                          d_shard)[:num_segments]

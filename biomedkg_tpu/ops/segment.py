@@ -48,7 +48,11 @@ def _take_rows_fwd(x, index):
 
 def _take_rows_bwd(res, g):
     index, n = res
-    return _fast_scatter(g, index, n), None
+    # accumulate in f32: bf16 segment-sums swamp after ~256 same-magnitude
+    # terms (hub nodes), and the sorted/perm/matbwd variants all accumulate
+    # f32 — grad-equivalence across dst_bwd variants requires it here too
+    return _fast_scatter(g.astype(jnp.float32), index,
+                         n).astype(g.dtype), None
 
 
 take_rows.defvjp(_take_rows_fwd, _take_rows_bwd)
@@ -185,12 +189,15 @@ def segment_softmax(
         scores = jnp.where(mask[:, None], scores, neg)
     seg_max = jax.ops.segment_max(scores, index, num_segments=num_segments)
     seg_max = jnp.maximum(seg_max, neg)  # empty segments stay finite
-    shifted = scores - seg_max[index]
+    # take_rows, not []: plain advanced indexing lowers to the slow
+    # scalar-path gather and its autodiff transpose to the ~200 GB/s
+    # scatter (PERF.md) — this is RGAT's per-layer gradient path
+    shifted = scores - take_rows(seg_max, index)
     expd = jnp.exp(shifted)
     if mask is not None:
         expd = jnp.where(mask[:, None], expd, 0.0)
     denom = jax.ops.segment_sum(expd, index, num_segments=num_segments)
-    out = expd / jnp.maximum(denom[index], 1e-16)
+    out = expd / jnp.maximum(take_rows(denom, index), 1e-16)
     return out[:, 0] if squeeze else out
 
 
