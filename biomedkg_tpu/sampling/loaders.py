@@ -93,26 +93,54 @@ def prefetch_to_device(iterable: Iterable, size: int = 2) -> Iterator:
 
 
 def prefetch(iterable: Iterable, size: int = 2) -> Iterator:
-    """Run an iterator in a background thread with a bounded queue."""
+    """Run an iterator in a background thread with a bounded queue.
+
+    Abandoning the generator early (``break`` — e.g. fast_dev_run) closes
+    it cleanly: the worker is signalled to stop and the queue drained, so
+    no thread stays blocked on ``put`` pinning device-resident batches."""
     q: queue.Queue = queue.Queue(maxsize=size)
     sentinel = object()
     error: list = []
+    stop = threading.Event()
 
     def worker():
         try:
             for item in iterable:
-                q.put(item)
+                while not stop.is_set():
+                    try:
+                        q.put(item, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
+                if stop.is_set():
+                    return
         except BaseException as e:  # propagate to consumer
             error.append(e)
         finally:
-            q.put(sentinel)
+            # blocking-with-stop-check: the queue may still hold
+            # unconsumed items; dropping the sentinel would hang the
+            # consumer's final q.get()
+            while not stop.is_set():
+                try:
+                    q.put(sentinel, timeout=0.1)
+                    break
+                except queue.Full:
+                    continue
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is sentinel:
-            if error:
-                raise error[0]
-            return
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is sentinel:
+                if error:
+                    raise error[0]
+                return
+            yield item
+    finally:
+        stop.set()
+        try:
+            while True:
+                q.get_nowait()
+        except queue.Empty:
+            pass

@@ -69,16 +69,29 @@ class AsyncSaver:
 
     def __init__(self):
         self._thread: Optional[threading.Thread] = None
+        self._exc: Optional[BaseException] = None
 
     def submit(self, fn):
         self.wait()
-        self._thread = threading.Thread(target=fn, daemon=True)
+
+        def run():
+            try:
+                fn()
+            except BaseException as e:  # surfaced on the next wait()
+                self._exc = e
+
+        self._thread = threading.Thread(target=run, daemon=True)
         self._thread.start()
 
     def wait(self):
+        """Flush; re-raises a background write failure instead of letting
+        callers believe a never-written checkpoint is durable."""
         if self._thread is not None and self._thread.is_alive():
             self._thread.join()
         self._thread = None
+        if self._exc is not None:
+            exc, self._exc = self._exc, None
+            raise exc
 
 
 def save_orbax(dirpath: str, kind: str, hparams: Dict, params: Any,
@@ -95,26 +108,41 @@ def save_orbax(dirpath: str, kind: str, hparams: Dict, params: Any,
     pytree structure.
     """
     import json
+    import shutil
 
     import orbax.checkpoint as ocp
 
     dirpath = os.path.abspath(dirpath)
+    # preemption safety: build the whole checkpoint in a sibling ".new"
+    # dir (meta.json written LAST — its presence implies completeness),
+    # then swap via two renames. A kill at any point leaves at least one
+    # complete checkpoint among {dirpath, .new, .old} for load_orbax.
+    # Saving in place (the old force=True overwrite) deleted the only
+    # recovery checkpoint before rewriting it.
+    new = dirpath + ".new"
+    old = dirpath + ".old"
+    shutil.rmtree(new, ignore_errors=True)
     ckptr = ocp.PyTreeCheckpointer()
-    ckptr.save(os.path.join(dirpath, "params"), _to_numpy(params),
-               force=True)
+    ckptr.save(os.path.join(new, "params"), _to_numpy(params), force=True)
     n_opt = 0
     if opt_state is not None:
         leaves = jax.tree_util.tree_leaves(_to_numpy(opt_state))
         n_opt = len(leaves)
-        ckptr.save(os.path.join(dirpath, "opt_state"),
+        ckptr.save(os.path.join(new, "opt_state"),
                    {f"l{i:04d}": leaf for i, leaf in enumerate(leaves)},
                    force=True)
-    tmp = os.path.join(dirpath, ".meta.json.tmp")
+    tmp = os.path.join(new, ".meta.json.tmp")
     with open(tmp, "w") as f:
         json.dump({"kind": kind, "hparams": dict(hparams),
                    "step": int(step), "extras": extras or {},
                    "n_opt_leaves": n_opt}, f)
-    os.replace(tmp, os.path.join(dirpath, "meta.json"))
+    os.replace(tmp, os.path.join(new, "meta.json"))
+
+    shutil.rmtree(old, ignore_errors=True)
+    if os.path.isdir(dirpath):
+        os.rename(dirpath, old)
+    os.rename(new, dirpath)
+    shutil.rmtree(old, ignore_errors=True)
 
 
 def load_orbax(dirpath: str) -> Dict:
@@ -123,6 +151,12 @@ def load_orbax(dirpath: str) -> Dict:
     import orbax.checkpoint as ocp
 
     dirpath = os.path.abspath(dirpath)
+    # recover from a save interrupted mid-swap: prefer the primary dir,
+    # then a completed ".new" (meta.json is written last), then ".old"
+    for cand in (dirpath, dirpath + ".new", dirpath + ".old"):
+        if os.path.exists(os.path.join(cand, "meta.json")):
+            dirpath = cand
+            break
     with open(os.path.join(dirpath, "meta.json")) as f:
         meta = json.load(f)
     ckptr = ocp.PyTreeCheckpointer()
@@ -136,8 +170,10 @@ def load_orbax(dirpath: str) -> Dict:
 
 
 def load_any(path: str) -> Dict:
-    """Dispatch: file → pickle checkpoint, directory → orbax checkpoint."""
-    if os.path.isdir(path):
+    """Dispatch: file → pickle checkpoint, directory → orbax checkpoint
+    (including one whose atomic swap was interrupted — see load_orbax)."""
+    if os.path.isdir(path) or os.path.isdir(path + ".new") \
+            or os.path.isdir(path + ".old"):
         return load_orbax(path)
     return load_checkpoint(path)
 
@@ -171,17 +207,31 @@ class ModelCheckpoint:
             self.dirpath,
             f"epoch={epoch}-{self.monitor}={value:.4f}.ckpt")
         signed = self.sign * value
-        if len(self._kept) < self.save_top_k or \
-                signed < max(self._kept)[0]:
+        # Lightning semantics: save_top_k=0 saves nothing (save_last still
+        # applies), -1 saves everything
+        should = self.save_top_k != 0 and (
+            self.save_top_k == -1
+            or len(self._kept) < self.save_top_k
+            or signed < max(self._kept)[0])
+        if should:
             trainer.save(path)
             self._kept.append((signed, path))
             self._kept.sort()
-            while len(self._kept) > self.save_top_k:
+            while self.save_top_k >= 0 and \
+                    len(self._kept) > self.save_top_k:
                 _, drop = self._kept.pop()
                 if os.path.exists(drop):
                     os.remove(drop)
         if self.save_last:
             trainer.save(os.path.join(self.dirpath, "last.ckpt"))
+
+    # -- resume support (Trainer embeds these in checkpoint extras) -------
+
+    def state_dict(self) -> Dict:
+        return {"kept": [[v, p] for v, p in self._kept]}
+
+    def load_state_dict(self, state: Dict) -> None:
+        self._kept = [(float(v), str(p)) for v, p in state.get("kept", [])]
 
 
 class EarlyStopping:
@@ -209,3 +259,12 @@ class EarlyStopping:
             # Lightning semantics: stop when wait_count >= patience
             if self.bad_epochs >= self.patience:
                 self.should_stop = True
+
+    def state_dict(self) -> Dict:
+        return {"best": self.best, "bad_epochs": self.bad_epochs,
+                "should_stop": self.should_stop}
+
+    def load_state_dict(self, state: Dict) -> None:
+        self.best = float(state.get("best", float("inf")))
+        self.bad_epochs = int(state.get("bad_epochs", 0))
+        self.should_stop = bool(state.get("should_stop", False))

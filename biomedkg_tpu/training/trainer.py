@@ -61,6 +61,13 @@ class Trainer:
         # preemption safety (SURVEY §5 failure row): periodic mid-epoch
         # checkpoints written asynchronously off the step path
         self.checkpoint_every_n_steps = checkpoint_every_n_steps
+        if checkpoint_every_n_steps and not default_root_dir:
+            import warnings
+
+            warnings.warn(
+                "checkpoint_every_n_steps is set but default_root_dir is "
+                "not — periodic preemption checkpoints will NOT be "
+                "written", stacklevel=2)
         assert checkpoint_backend in ("pickle", "orbax")
         self.checkpoint_backend = checkpoint_backend
         self.async_checkpointing = async_checkpointing
@@ -80,7 +87,13 @@ class Trainer:
         here (synchronously — the arrays are donated by the next step);
         the disk write runs on the background saver thread unless
         async_checkpointing=False."""
-        extras = {"model_name": getattr(self.module, "model_name", None)}
+        extras = {"model_name": getattr(self.module, "model_name", None),
+                  # callback state (top-k ledger, early-stop patience)
+                  # rides along so resume continues eviction/patience
+                  # where the interrupted run left them
+                  "callback_states": [
+                      cb.state_dict() if hasattr(cb, "state_dict")
+                      else None for cb in self.callbacks]}
         kind, hparams = self.module.kind, self.module.hparams
         params = jax.device_get(self.state.params)
         opt_state = jax.device_get(self.state.opt_state)
@@ -144,24 +157,28 @@ class Trainer:
         init_rng = jax.random.fold_in(root, 0)
         train_root = jax.random.fold_in(root, 1)
         val_root = jax.random.fold_in(root, 2)
-        self.state = model.init_state(init_rng)
         start_epoch = 0
         skip_steps = 0
         if resume_from is not None:
             # preemption recovery: restore params + optimizer state + step,
             # fast-forward to the interrupted position — epoch AND offset
             # within it (loaders are epoch-keyed, so skipping the already-
-            # consumed batches replays the exact uninterrupted stream)
+            # consumed batches replays the exact uninterrupted stream).
+            # No init_state here: a fresh init would materialize a full
+            # params+moments copy on device only to discard it (~2× peak
+            # HBM at production table sizes).
             from .kge_module import TrainState
 
             ckpt = load_any(resume_from)
+            params = jax.tree_util.tree_map(jax.numpy.asarray,
+                                            ckpt["params"])
             if ckpt.get("opt_state") is not None:
                 opt_state = jax.tree_util.tree_map(jax.numpy.asarray,
                                                    ckpt["opt_state"])
             elif ckpt.get("opt_leaves") is not None:
                 # orbax stores flattened leaves; rebuild optax's real
                 # container classes from a template (checkpoint.save_orbax)
-                template = model.tx.init(self.state.params)
+                template = model.tx.init(params)
                 treedef = jax.tree_util.tree_structure(template)
                 opt_state = jax.tree_util.tree_unflatten(
                     treedef, [jax.numpy.asarray(x)
@@ -171,19 +188,34 @@ class Trainer:
                     "checkpoint lacks optimizer state; cannot resume")
             step = ckpt["step"]
             self.state = TrainState(
-                jax.tree_util.tree_map(jax.numpy.asarray, ckpt["params"]),
-                opt_state,
+                params, opt_state,
                 jax.numpy.asarray(step, jax.numpy.int32))
             start_epoch = step // max(steps_per_epoch, 1)
             skip_steps = step - start_epoch * steps_per_epoch
             self.global_step = int(step)
+            states = (ckpt.get("extras") or {}).get("callback_states") or []
+            for cb, st in zip(self.callbacks, states):
+                if st is not None and hasattr(cb, "load_state_dict"):
+                    cb.load_state_dict(st)
+            if skip_steps % max(self.steps_per_execution, 1):
+                import warnings
+
+                warnings.warn(
+                    f"resume offset {skip_steps} is not a multiple of "
+                    f"steps_per_execution={self.steps_per_execution}: "
+                    "every batch is still trained exactly once, but the "
+                    "scan-group rng boundaries differ from the "
+                    "uninterrupted run (not bit-identical)", stacklevel=2)
         elif init_params is not None:
             # warm start (load_from_checkpoint → fit, train_dpi.py:32)
             from .kge_module import TrainState
 
             self.state = TrainState(
                 jax.tree_util.tree_map(jax.numpy.asarray, init_params),
-                model.tx.init(init_params), self.state.step)
+                model.tx.init(init_params),
+                jax.numpy.zeros((), jax.numpy.int32))
+        else:
+            self.state = model.init_state(init_rng)
 
         for epoch in range(start_epoch, epochs):
             self.current_epoch = epoch
@@ -196,14 +228,14 @@ class Trainer:
             n_edges = 0
             last_loss = 0.0
             k = 1 if self.fast_dev_run else self.steps_per_execution
+            # resume fast-forward: the already-consumed prefix of the
+            # epoch-keyed stream is skipped INSIDE the stream, before
+            # stacking/device_put (batch-exact for any k; skipping
+            # device-resident groups both over-skipped when k changed
+            # across the restart and paid H2D for every dropped batch)
             skip = skip_steps if epoch == start_epoch else 0
             for kind, batch, steps, edges in prefetch(
-                    self._train_stream(train_dataloaders, k)):
-                if skip > 0:
-                    # resume fast-forward: drop batches the interrupted run
-                    # already consumed (same epoch-keyed stream)
-                    skip -= steps
-                    continue
+                    self._train_stream(train_dataloaders, k, skip)):
                 step_rng = jax.random.fold_in(train_root, self.global_step)
                 if kind == "group":
                     self.state, logs = model.train_steps(self.state, batch,
@@ -257,10 +289,15 @@ class Trainer:
                 if self.enable_progress_bar:
                     val_loss = val_metrics.get("val_loss", float("nan"))
                     print(f"[epoch {epoch}] val_loss={val_loss:.4f}")
-                if self.enable_checkpointing:
-                    for cb in self.callbacks:
-                        if hasattr(cb, "on_validation_end"):
-                            cb.on_validation_end(self, val_metrics)
+                for cb in self.callbacks:
+                    # only CHECKPOINT callbacks are gated by
+                    # enable_checkpointing — EarlyStopping etc. must
+                    # still run (Lightning semantics)
+                    if isinstance(cb, ModelCheckpoint) \
+                            and not self.enable_checkpointing:
+                        continue
+                    if hasattr(cb, "on_validation_end"):
+                        cb.on_validation_end(self, val_metrics)
             if self.logger:
                 self.logger.log(epoch_logs, self.global_step)
             self.history.append(epoch_logs)
@@ -274,16 +311,24 @@ class Trainer:
         return self.state
 
     @staticmethod
-    def _train_stream(loader, k: int):
+    def _train_stream(loader, k: int, skip: int = 0):
         """Group batches into fused-execution units, stack + device_put in
         the prefetch worker so host packing and H2D transfers overlap the
-        device's previous step. Yields (kind, device_batch, steps, edges)."""
+        device's previous step. ``skip`` consumes that many batches from
+        the loader first (resume fast-forward — they never get stacked or
+        transferred). Yields (kind, device_batch, steps, edges)."""
+        import itertools
+
         import jax as _jax
 
         from ..parallel.dp import stack_batches
 
+        it = iter(loader)
+        if skip:
+            next(itertools.islice(it, skip - 1, skip), None)
+
         pending = []
-        for batch in loader:
+        for batch in it:
             pending.append(batch)
             if len(pending) == k:
                 edges = sum(int(np.sum(b.edge_mask)) for b in pending)
