@@ -155,8 +155,15 @@ class _BaseModule:
 
         class _Repeat:
             def __iter__(self):
+                import jax
+
+                # device_put ONCE: the batch is invariant across steps, so
+                # yielding the device-resident pytree makes the trainer's
+                # per-step device_put a no-op instead of re-copying the
+                # full feature matrix (~400 MB at PrimeKG scale) every step
+                batch = jax.device_put(loader.batch())
                 for _ in range(steps):
-                    yield loader.batch()
+                    yield batch
 
             def __len__(self):
                 return steps
@@ -190,10 +197,16 @@ class _BaseModule:
     def all_dataloader(self):
         return NeighborBatchLoader(
             self.graph, batch_size=self.batch_size, fanouts=self.FANOUTS,
-            shuffle=False, block_size=self.block_size, seed=self.seed)
+            shuffle=False, block_size=self.block_size, seed=self.seed,
+            with_features=not self.device_features,
+            edge_layout=self.edge_layout)
 
     def subgraph_dataloader(self):
-        return FullGraphLoader(self.graph, block_size=self.block_size)
+        # export surface — must honor the module's edge_layout like every
+        # other loader (a dst-configured encoder fed relation-sorted
+        # edges silently aggregates wrong)
+        return FullGraphLoader(self.graph, block_size=self.block_size,
+                               edge_layout=self.edge_layout)
 
 
 class PrimeKGModule(_BaseModule):
@@ -254,11 +267,21 @@ class DPIModule(_BaseModule):
     def setup(self, stage: str = "split"):
         self._do_split = stage == "split"
         self.dpi = DPI(data_dir=self.data_dir, encoder=self.encoder)
-        # T.ToUndirected(): append reversed edges with the same type
-        # (reference data_module.py:178).
+        # T.ToUndirected(): append reversed edges with the same type AND
+        # coalesce duplicates (PyG's to_undirected dedups — a csv that
+        # records an interaction in both directions must not yield four
+        # copies of the pair; reference data_module.py:178). NOTE the
+        # reference then calls RandomLinkSplit WITHOUT is_undirected=True,
+        # so the REVERSE of a test edge can sit in train — an inherited
+        # methodological leak kept for parity (PARITY.md), not a port bug.
         g = self.dpi.graph
-        g.edge_index = np.concatenate([g.edge_index, g.edge_index[::-1]],
-                                      axis=1)
-        g.edge_type = np.concatenate([g.edge_type, g.edge_type])
+        ei = np.concatenate([g.edge_index, g.edge_index[::-1]], axis=1)
+        et = np.concatenate([g.edge_type, g.edge_type])
+        key = (ei[0].astype(np.int64) * g.num_nodes + ei[1]
+               ) * max(g.num_relations, 1) + et
+        _, keep = np.unique(key, return_index=True)
+        keep.sort()
+        g.edge_index = ei[:, keep]
+        g.edge_type = et[keep]
         g._out = g._in = None
         self._post_setup(self.dpi)

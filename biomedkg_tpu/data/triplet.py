@@ -73,9 +73,11 @@ class TripletGraph:
 
         for edge_id, relation in enumerate(relations):
             rel_df = df[df["relation"] == relation]
-            sig = rel_df[["x_type", "relation", "y_type"]]\
-                .drop_duplicates().values
-            head_t, _, tail_t = sig[0]
+            # first-row signature (reference first-occurrence semantics);
+            # drop_duplicates over the whole relation slice hashed every
+            # row just to read row 0
+            first = rel_df.iloc[0]
+            head_t, tail_t = first["x_type"], first["y_type"]
             pair_df = rel_df[(rel_df["x_type"] == head_t)
                              & (rel_df["y_type"] == tail_t)]
             h_map = node_to_index[head_t]

@@ -3,5 +3,4 @@ from .loaders import (  # noqa: F401
     SaintRandomWalkLoader,
     NeighborBatchLoader,
     FullGraphLoader,
-    make_loader,
 )

@@ -51,6 +51,11 @@ class FullGraphLoader:
                 (counts + self.block_size - 1) // self.block_size
             ) * self.block_size)
             edge_budget = max(edge_budget, self.block_size)
+            # align to lcm(block_size, 2048) like the SAINT loader: the
+            # negative path's K·E slots must be a multiple of the Pallas
+            # chunk or every step pays a runtime pad of the (K·E, d) grad
+            lcm = int(np.lcm(self.block_size, 2048))
+            edge_budget = -(-edge_budget // lcm) * lcm
             x = g.x if g.x is not None else np.zeros((g.num_nodes, 1),
                                                      np.float32)
             self._batch = pad_graph_batch(
@@ -67,21 +72,6 @@ class FullGraphLoader:
 
     def __len__(self):
         return 1
-
-
-def make_loader(graph: CSRGraph, loader_type: str, batch_size: int,
-                num_steps: int = 1000, shuffle: bool = False,
-                seed: int = 0, block_size: int = 256):
-    """Reference loader_type dispatch (data_module.py:89-145)."""
-    if loader_type == "saint":
-        return SaintRandomWalkLoader(
-            graph, batch_size=batch_size, walk_length=10,
-            num_steps=num_steps, block_size=block_size, seed=seed)
-    if loader_type == "neighbor":
-        return NeighborBatchLoader(
-            graph, batch_size=batch_size, fanouts=[30, 30, 30],
-            shuffle=shuffle, block_size=block_size, seed=seed)
-    raise ValueError(f"Unknown loader_type: {loader_type!r}")
 
 
 def prefetch_to_device(iterable: Iterable, size: int = 2) -> Iterator:
