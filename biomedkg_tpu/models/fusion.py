@@ -96,6 +96,11 @@ class PositionalEncoding:
 
     def __init__(self, embed_dim: int, dropout: float = 0.1,
                  max_len: int = 5000):
+        # even dims only: the cosine slice has floor(d/2) slots vs the
+        # ceil(d/2)-column div table (the torch reference crashes the
+        # same way on odd dims — surface it clearly instead)
+        assert embed_dim % 2 == 0, \
+            f"PositionalEncoding requires an even embed_dim, got {embed_dim}"
         self.dropout = dropout
         position = jnp.arange(max_len)[:, None].astype(jnp.float32)
         div = jnp.exp(jnp.arange(0, embed_dim, 2).astype(jnp.float32)

@@ -33,45 +33,60 @@ def _as_probs(preds: np.ndarray) -> np.ndarray:
     return preds
 
 
-def binary_auroc(preds: np.ndarray, target: np.ndarray,
-                 weights: Optional[np.ndarray] = None) -> float:
-    """Weighted AUROC = P(s_pos > s_neg) + 0.5 P(s_pos = s_neg)."""
+def _tie_group_counts(preds, target, weights):
+    """(gp, gn): per-tied-score-group positive/negative weight sums in
+    ASCENDING score order — the single representation all AUROC/AP
+    implementations here reduce to (bins play the same role in
+    HistogramBinaryMetrics)."""
     w = np.ones_like(preds, dtype=np.float64) if weights is None else weights
     pos = target > 0.5
     order = np.argsort(preds, kind="stable")
     s, p, wt = preds[order], pos[order], w[order]
-    w_pos = np.where(p, wt, 0.0)
-    w_neg = np.where(p, 0.0, wt)
-    # group ties
+    if not len(s):
+        return np.zeros(0), np.zeros(0)
     boundaries = np.concatenate([[True], s[1:] != s[:-1]])
     group_id = np.cumsum(boundaries) - 1
-    n_groups = group_id[-1] + 1 if len(s) else 0
-    gp = np.bincount(group_id, weights=w_pos, minlength=n_groups)
-    gn = np.bincount(group_id, weights=w_neg, minlength=n_groups)
-    cum_neg_below = np.concatenate([[0.0], np.cumsum(gn)[:-1]])
-    num = np.sum(gp * (cum_neg_below + 0.5 * gn))
-    denom = np.sum(w_pos) * np.sum(w_neg)
-    return float(num / denom) if denom > 0 else 0.5
+    n_groups = group_id[-1] + 1
+    gp = np.bincount(group_id, weights=np.where(p, wt, 0.0),
+                     minlength=n_groups)
+    gn = np.bincount(group_id, weights=np.where(p, 0.0, wt),
+                     minlength=n_groups)
+    return gp, gn
+
+
+def binary_auroc(preds: np.ndarray, target: np.ndarray,
+                 weights: Optional[np.ndarray] = None) -> float:
+    """Weighted AUROC = P(s_pos > s_neg) + 0.5 P(s_pos = s_neg)."""
+    gp, gn = _tie_group_counts(preds, target, weights)
+    return _auroc_ap_from_groups(gp, gn)["AUROC"]
 
 
 def binary_average_precision(preds: np.ndarray, target: np.ndarray,
                              weights: Optional[np.ndarray] = None) -> float:
     """Weighted AP = Σ (R_n − R_{n−1}) P_n over descending-score thresholds."""
-    w = np.ones_like(preds, dtype=np.float64) if weights is None else weights
-    order = np.argsort(-preds, kind="stable")
-    s, t, wt = preds[order], target[order] > 0.5, w[order]
-    tp = np.cumsum(np.where(t, wt, 0.0))
-    fp = np.cumsum(np.where(t, 0.0, wt))
-    # only evaluate at the last index of each tied-score group
-    is_last = np.concatenate([s[1:] != s[:-1], [True]])
-    tp, fp = tp[is_last], fp[is_last]
+    gp, gn = _tie_group_counts(preds, target, weights)
+    return _auroc_ap_from_groups(gp, gn)["AveragePrecision"]
+
+
+def _auroc_ap_from_groups(gp, gn) -> Dict[str, float]:
+    """AUROC + AP from ascending tie-group (or histogram-bin) counts —
+    THE one implementation (empty input → the degenerate 0.5 / 0.0)."""
+    denom = gp.sum() * gn.sum()
+    cum_neg = np.concatenate([[0.0], np.cumsum(gn)[:-1]]) if len(gn) \
+        else np.zeros(0)
+    auroc = (float(np.sum(gp * (cum_neg + 0.5 * gn)) / denom)
+             if denom > 0 else 0.5)
+    tp = np.cumsum(gp[::-1])
+    fp = np.cumsum(gn[::-1])
     total_pos = tp[-1] if len(tp) else 0.0
     if total_pos == 0:
-        return 0.0
-    recall = tp / total_pos
-    precision = tp / np.maximum(tp + fp, 1e-12)
-    prev_recall = np.concatenate([[0.0], recall[:-1]])
-    return float(np.sum((recall - prev_recall) * precision))
+        ap = 0.0
+    else:
+        recall = tp / total_pos
+        precision = tp / np.maximum(tp + fp, 1e-12)
+        prev = np.concatenate([[0.0], recall[:-1]])
+        ap = float(np.sum((recall - prev) * precision))
+    return {"AUROC": auroc, "AveragePrecision": ap}
 
 
 def binary_f1(preds: np.ndarray, target: np.ndarray,
@@ -139,7 +154,6 @@ class BootstrappedBinaryMetrics:
         target = np.concatenate(self._target)
         rng = np.random.default_rng(self.seed)
 
-        point = self._weighted_metrics(preds, target, [None])
         # Bootstrapping a size-n subsample measures the variability of an
         # n-sample metric, which is ~sqrt(N/n) larger than the full-set
         # metric's; rescale the std so reported CI widths stay calibrated
@@ -149,11 +163,17 @@ class BootstrappedBinaryMetrics:
             sub = rng.integers(0, len(preds), self.MAX_BOOTSTRAP_N)
             b_preds, b_target = preds[sub], target[sub]
             std_scale = np.sqrt(self.MAX_BOOTSTRAP_N / len(preds))
+            point = self._weighted_metrics(preds, target, [None])
+            rows = [self._fast_poisson1(rng, len(b_preds))
+                    for _ in range(self.num_bootstraps)]
+            boots = self._weighted_metrics(b_preds, b_target, rows)
         else:
-            b_preds, b_target = preds, target
-        rows = [self._fast_poisson1(rng, len(b_preds))
-                for _ in range(self.num_bootstraps)]
-        boots = self._weighted_metrics(b_preds, b_target, rows)
+            # one sort/group pass serves the point row AND every resample
+            rows = [self._fast_poisson1(rng, len(preds))
+                    for _ in range(self.num_bootstraps)]
+            vals = self._weighted_metrics(preds, target, [None] + rows)
+            point = {k: v[:1] for k, v in vals.items()}
+            boots = {k: v[1:] for k, v in vals.items()}
 
         out = {}
         for name in _METRIC_FNS:
@@ -182,26 +202,11 @@ class BootstrappedBinaryMetrics:
             ws = (np.ones_like(s) if w is None else w[order])
             w_pos = np.where(t, ws, 0.0)
             w_neg = np.where(t, 0.0, ws)
-            # AUROC (ascending order)
             gp = np.bincount(group_id, weights=w_pos, minlength=n_groups)
             gn = np.bincount(group_id, weights=w_neg, minlength=n_groups)
-            cum_neg = np.concatenate([[0.0], np.cumsum(gn)[:-1]])
-            denom = gp.sum() * gn.sum()
-            values["AUROC"].append(
-                float(np.sum(gp * (cum_neg + 0.5 * gn)) / denom)
-                if denom > 0 else 0.5)
-            # AP (descending order = reversed groups)
-            tp = np.cumsum(gp[::-1])
-            fp = np.cumsum(gn[::-1])
-            total_pos = tp[-1] if len(tp) else 0.0
-            if total_pos == 0:
-                values["AveragePrecision"].append(0.0)
-            else:
-                recall = tp / total_pos
-                precision = tp / np.maximum(tp + fp, 1e-12)
-                prev = np.concatenate([[0.0], recall[:-1]])
-                values["AveragePrecision"].append(
-                    float(np.sum((recall - prev) * precision)))
+            aa = _auroc_ap_from_groups(gp, gn)  # the ONE implementation
+            values["AUROC"].append(aa["AUROC"])
+            values["AveragePrecision"].append(aa["AveragePrecision"])
             # F1 @ 0.5 (no sort needed)
             wf = np.ones_like(preds) if w is None else w
             tp_f = np.sum(np.where(probs_pos & (target > 0.5), wf, 0.0))
@@ -221,7 +226,10 @@ class HistogramBinaryMetrics:
     State per split: ``hist`` (2, NUM_BINS) float32 — weighted counts of
     positives/negatives per sigmoid-probability bin — and ``f1_counts``
     (tp, fp, fn) computed EXACTLY on device with the logit>0 threshold
-    (sigmoid(x) > 0.5 ⇔ x > 0, no binning error). Both states sum across
+    (sigmoid(x) > 0.5 ⇔ x > 0, no binning error; when the histogram
+    shows every prediction lies in [0, 1], compute() instead follows
+    torchmetrics' prob semantics — threshold raw 0.5 — read off the
+    bins, matching BootstrappedBinaryMetrics). Both states sum across
     batches/hosts like torchmetrics' ``dist_reduce_fx="sum"``
     (reference utils/metrics.py:12-18), so multi-host eval ships ~256KB
     instead of the full prediction set.
@@ -276,22 +284,7 @@ class HistogramBinaryMetrics:
 
     @staticmethod
     def _auroc_ap_from_hist(hist) -> Dict[str, float]:
-        gp, gn = hist[0], hist[1]
-        denom = gp.sum() * gn.sum()
-        cum_neg = np.concatenate([[0.0], np.cumsum(gn)[:-1]])
-        auroc = (float(np.sum(gp * (cum_neg + 0.5 * gn)) / denom)
-                 if denom > 0 else 0.5)
-        tp = np.cumsum(gp[::-1])
-        fp = np.cumsum(gn[::-1])
-        total_pos = tp[-1] if len(tp) else 0.0
-        if total_pos == 0:
-            ap = 0.0
-        else:
-            recall = tp / total_pos
-            precision = tp / np.maximum(tp + fp, 1e-12)
-            prev = np.concatenate([[0.0], recall[:-1]])
-            ap = float(np.sum((recall - prev) * precision))
-        return {"AUROC": auroc, "AveragePrecision": ap}
+        return _auroc_ap_from_groups(hist[0], hist[1])
 
     @staticmethod
     def _f1_from_counts(c) -> float:
@@ -299,11 +292,37 @@ class HistogramBinaryMetrics:
         denom = 2 * tp + fp + fn
         return float(2 * tp / denom) if denom > 0 else 0.0
 
+    def _prob_mode(self) -> bool:
+        """torchmetrics' _as_probs heuristic reconstructed from the
+        histogram: the whole eval set lies in [0, 1] iff every occupied
+        bin sits inside [sigmoid(0), sigmoid(1)] (up to bin granularity).
+        The exact path (BootstrappedBinaryMetrics) thresholds probs at
+        0.5 in that case — without this, the two eval paths reported
+        DIFFERENT F1 for the same bounded-score predictions."""
+        occ = np.nonzero(self.hist.sum(axis=0))[0]
+        if not len(occ):
+            return False
+        lo = int(_sigmoid(np.float64(0.0)) * self.NUM_BINS)
+        hi = int(_sigmoid(np.float64(1.0)) * self.NUM_BINS)
+        return bool(occ[0] >= lo and occ[-1] <= hi)
+
+    def _f1_from_hist(self, hist) -> float:
+        """F1 with the prob-semantics threshold (raw 0.5 ⇔ sigmoid bin
+        ≥ bin(sigmoid(0.5))) read off the histogram — binning error only,
+        same order as the AUROC/AP bin ties."""
+        t_bin = int(_sigmoid(np.float64(0.5)) * self.NUM_BINS)
+        tp = hist[0, t_bin:].sum()
+        fp = hist[1, t_bin:].sum()
+        fn = hist[0, :t_bin].sum()
+        return self._f1_from_counts((tp, fp, fn))
+
     def compute(self) -> Dict[str, float]:
         if self.hist.sum() == 0:
             return {}
+        prob_mode = self._prob_mode()
         point = self._auroc_ap_from_hist(self.hist)
-        point["F1"] = self._f1_from_counts(self.f1_counts)
+        point["F1"] = (self._f1_from_hist(self.hist) if prob_mode
+                       else self._f1_from_counts(self.f1_counts))
 
         rng = np.random.default_rng(self.seed)
         boots = {name: [] for name in point}
@@ -311,7 +330,8 @@ class HistogramBinaryMetrics:
             bh = rng.poisson(self.hist)
             bc = rng.poisson(self.f1_counts)
             b = self._auroc_ap_from_hist(bh)
-            b["F1"] = self._f1_from_counts(bc)
+            b["F1"] = (self._f1_from_hist(bh) if prob_mode
+                       else self._f1_from_counts(bc))
             for name, v in b.items():
                 boots[name].append(v)
 

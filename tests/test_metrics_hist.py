@@ -106,3 +106,45 @@ def test_kge_eval_epoch_histogram_vs_exact():
                                    err_msg=key)
     np.testing.assert_allclose(m_hist["val_loss"], m_exact["val_loss"],
                                rtol=1e-6)
+
+
+def test_hist_f1_prob_semantics_matches_exact():
+    """Regression: predictions entirely in [0,1] must get torchmetrics'
+    prob-threshold F1 from BOTH eval paths (the histogram path used the
+    logit>0 threshold, marking every sample predicted-positive)."""
+    import numpy as np
+
+    from biomedkg_tpu.training.metrics import (BootstrappedBinaryMetrics,
+                                               HistogramBinaryMetrics)
+
+    rng = np.random.default_rng(0)
+    preds = rng.random(1000)
+    target = (rng.random(1000) < preds).astype(np.float64)
+
+    exact = BootstrappedBinaryMetrics()
+    exact.update(preds, target)
+    hist = HistogramBinaryMetrics()
+    hist.update(preds, target)
+    e, h = exact.compute(), hist.compute()
+    assert abs(e["F1"] - h["F1"]) < 2e-3, (e["F1"], h["F1"])
+    assert abs(e["AUROC"] - h["AUROC"]) < 2e-3
+
+    # logit-range predictions keep the exact on-device counts path
+    lp = rng.standard_normal(1000) * 3
+    lt = (rng.random(1000) < 1 / (1 + np.exp(-lp))).astype(np.float64)
+    e2 = BootstrappedBinaryMetrics(); e2.update(lp, lt)
+    h2 = HistogramBinaryMetrics(); h2.update(lp, lt)
+    assert abs(e2.compute()["F1"] - h2.compute()["F1"]) < 1e-9
+
+
+def test_standalone_metrics_empty_input():
+    import numpy as np
+
+    from biomedkg_tpu.training.metrics import (binary_auroc,
+                                               binary_average_precision,
+                                               binary_f1)
+
+    e = np.array([])
+    assert binary_auroc(e, e) == 0.5
+    assert binary_average_precision(e, e) == 0.0
+    assert binary_f1(e, e) == 0.0
