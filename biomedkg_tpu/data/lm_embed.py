@@ -44,9 +44,16 @@ class NodeEmbedding:
             try:
                 self._init_flax(model_name_or_path)
                 self.backend = "flax"
-            except Exception:
+            except Exception as e:
                 if backend == "flax":
                     raise
+                import warnings
+
+                warnings.warn(
+                    f"flax backend unavailable for "
+                    f"{model_name_or_path!r} ({type(e).__name__}: {e}); "
+                    "falling back to the torch-CPU path (orders of "
+                    "magnitude slower for Stage-A sweeps)", stacklevel=2)
         if self.backend is None:
             self._init_torch(model_name_or_path)
             self.backend = "torch"

@@ -207,7 +207,12 @@ class KGEEncode(_PickleCacheEncode):
 
         save_dir = os.path.join("data", "kge_embed")
         os.makedirs(save_dir, exist_ok=True)
-        stem = "_".join(ckpt_path.split("/")[-2:]).split(".")[0]
+        # reference stem rule truncated at the FIRST '.' of the joined
+        # path ("lr0.001/best.ckpt" and "lr0.01/best.ckpt" both → "lr0":
+        # silent stale-cache reuse across experiments); strip only the
+        # final extension instead and keep the rest of both components
+        joined = "_".join(ckpt_path.split("/")[-2:])
+        stem = joined.rsplit(".", 1)[0] if "." in joined else joined
         self.artifact_path = os.path.join(save_dir, stem)
         self.node_mapping = self._load_mapping()
         self.random_init_ratio = 0

@@ -1,11 +1,14 @@
 """Serving: checkpoint → resident embeddings → scoring / top-k queries.
 
 Production-deployment surface the reference lacks: load a trained KGE
-checkpoint, run ONE full-graph encode (embeddings stay device-resident),
-then answer
+checkpoint, run ONE full-graph encode over the COMPLETE graph (all known
+edges — no split/seed dependence; embeddings stay device-resident), then
+answer
 
   * ``score(head_name, relation_name, tail_name)`` → probability
-  * ``topk_tails(head_name, relation_name, k)``    → ranked candidates
+  * ``topk_tails(head_name, relation_name, k)``    → ranked candidates,
+    type-masked to the relation's observed tail type and excluding the
+    query head
 
 Top-k uses the same (1, N) MXU candidate scorers as the filtered-ranking
 evaluator (models/decoders.score_all_tails).
@@ -32,14 +35,36 @@ class KGEScorer:
         self.name_to_id = {}
         for type_map in tg.node_to_global.values():
             self.name_to_id.update(type_map)
-        self.id_to_name = {i: n for n, i in self.name_to_id.items()}
+        # global-id → name from the authoritative id-ordered node list:
+        # names are only unique WITHIN a type, so inverting the merged
+        # name→id dict would drop any id whose name is shadowed by
+        # another type (KeyError on top-k, wrong entity on score)
+        self.id_to_name = dict(enumerate(tg.node_list))
         self.rel_to_id = {v: k for k, v in tg.edge_map_index.items()}
 
-        batch = FullGraphLoader(data_module.test_data.graph).batch()
+        # encode the FULL graph (every known edge participates in message
+        # passing) — encoding a split's graph made served scores depend
+        # on val/test ratios and the split seed
+        batch = FullGraphLoader(
+            tg.graph, edge_layout=self.module.edge_layout).batch()
         z = self.module.encode(self.params, batch)
         self.z = jax.device_put(z[: tg.graph.num_nodes])
         self.decoder = self.module.model.decoder
         self.dec_params = self.params["model"]["decoder"]
+
+        # per-relation observed tail-type mask for top-k candidate
+        # filtering (each PrimeKG relation has one (head_t, tail_t)
+        # signature — triplet.py)
+        self._tail_type_mask = {}
+        ntype = np.asarray(tg.node_type_of)
+        ei, et = tg.graph.edge_index, tg.graph.edge_type
+        for rid in self.rel_to_id.values():
+            sel = et == rid
+            if sel.any():
+                tail_types = np.unique(ntype[ei[1][sel]])
+                self._tail_type_mask[rid] = np.isin(ntype, tail_types)
+            else:
+                self._tail_type_mask[rid] = np.ones(len(ntype), bool)
 
         self._score_fn = jax.jit(self.decoder.score)
         self._all_tails_fn = jax.jit(self.decoder.score_all_tails)
@@ -53,6 +78,8 @@ class KGEScorer:
 
     def score(self, head: str, relation: str, tail: str) -> float:
         h, r = self._ids(head, relation)
+        if tail not in self.name_to_id:
+            raise KeyError(f"unknown node: {tail!r}")
         t = self.name_to_id[tail]
         logit = self._score_fn(self.dec_params, self.z,
                                jnp.array([h]), jnp.array([t]),
@@ -62,10 +89,18 @@ class KGEScorer:
     def topk_tails(self, head: str, relation: str,
                    k: int = 10) -> List[Tuple[str, float]]:
         h, r = self._ids(head, relation)
+        if k <= 0:
+            raise ValueError(f"k must be positive, got {k}")
         scores = self._all_tails_fn(self.dec_params, self.z,
                                     jnp.array([h]), jnp.array([r]))[0]
         probs = jax.nn.sigmoid(scores)
+        # candidate filter: only the relation's observed tail type, and
+        # never the query head itself (distance decoders score h→h high)
+        mask = self._tail_type_mask[r].copy()
+        mask[h] = False
+        probs = jnp.where(jnp.asarray(mask), probs, -jnp.inf)
+        k = min(k, probs.shape[0])
         top = jax.lax.top_k(probs, k)
         vals, idxs = np.asarray(top[0]), np.asarray(top[1])
         return [(self.id_to_name[int(i)], float(v))
-                for i, v in zip(idxs, vals)]
+                for i, v in zip(idxs, vals) if np.isfinite(v)]

@@ -40,7 +40,8 @@ def main(cfg):
                     print(f"  {p:.6f}  {name}", flush=True)
             else:
                 print("unrecognized command", flush=True)
-        except KeyError as e:
+        except (KeyError, ValueError) as e:
+            # bad names, bad k, non-integer k — report, keep serving
             print(f"error: {e}", flush=True)
 
 
