@@ -119,9 +119,16 @@ class CSRGraph:
         dst_all = nbr[pos]
         et_all = etypes[pos]
 
-        lookup = np.full(self.num_nodes, -1, dtype=np.int64)
+        # reuse the persistent lookup buffer like the native branch — a
+        # fresh O(N) full()+fill per call is GBs/epoch at SAINT step
+        # counts on large graphs, in exactly the no-g++ environment where
+        # the host is already the bottleneck
+        if not hasattr(self, "_lookup_buf") or self._lookup_buf is None:
+            self._lookup_buf = np.full(self.num_nodes, -1, np.int64)
+        lookup = self._lookup_buf
         lookup[nodes] = np.arange(len(nodes))
         dst_local = lookup[dst_all]
+        lookup[nodes] = -1  # restore for the next call
         keep = dst_local >= 0
         ei = np.stack([src_rep[keep], dst_local[keep]]).astype(np.int32)
         return ei, et_all[keep]

@@ -51,15 +51,21 @@ def _build() -> bool:
         return False
 
 
+_build_failed = False
+
+
 def get_lib():
-    """Load (building if needed) the native library, or None."""
-    global _lib
+    """Load (building if needed) the native library, or None. A failed
+    build is memoized — without that, every sampler call re-spawned a
+    full (multi-second) g++ attempt per batch."""
+    global _lib, _build_failed
     if _lib is not None:
         return _lib
-    if os.environ.get("BIOMEDKG_NO_NATIVE"):
+    if _build_failed or os.environ.get("BIOMEDKG_NO_NATIVE"):
         return None
     if not _cached_binary_valid():
         if not _build():
+            _build_failed = True
             return None
     try:
         lib = ctypes.CDLL(_SO)

@@ -59,8 +59,15 @@ void random_walk(const int64_t* indptr, const int64_t* nbr,
     int64_t lo = t * chunk, hi = std::min(num_roots, lo + chunk);
     if (lo >= hi) break;
     pool.emplace_back([=]() {
-      uint64_t s = seed + 0x9e3779b97f4a7c15ULL * (t + 1);
       for (int64_t i = lo; i < hi; ++i) {
+        // Per-ROOT counter-based stream, scrambled once: (a) output is
+        // invariant to the thread partition (same seed → same walks on
+        // any core count, so epoch-keyed resume replay holds across
+        // machines); (b) per-thread seeds spaced by the SplitMix64
+        // increment made thread t's stream equal thread t+1's shifted
+        // by one draw — systematically correlated chunks.
+        uint64_t t0 = seed + 0x9e3779b97f4a7c15ULL * (uint64_t)(i + 1);
+        uint64_t s = splitmix64(&t0);
         int64_t cur = roots[i];
         int64_t* w = walks_out + i * (walk_length + 1);
         w[0] = cur;

@@ -18,6 +18,7 @@ import numpy as np
 
 from .batch import GraphBatch, pad_graph_batch
 from .csr import CSRGraph, ranges_concat
+from .saint import _round_up
 
 
 def sample_in_neighbors(graph: CSRGraph, frontier: np.ndarray, k: int,
@@ -145,8 +146,11 @@ class NeighborBatchLoader:
         if self.node_budget is None:
             self.node_budget = _round_up(int(worst_nodes * 1.5) + 1, 128)
         if self.edge_budget is None:
-            self.edge_budget = _round_up(int(worst_edges * 1.5),
-                                         self.block_size)
+            # lcm alignment like SAINT/FullGraph: the negative path's K·E
+            # slots must be a multiple of the Pallas chunk (2048) or every
+            # step pays a runtime pad of the (K·E, d) gradient
+            self.edge_budget = _round_up(
+                int(worst_edges * 1.5), int(np.lcm(self.block_size, 2048)))
 
     def set_epoch(self, epoch: int):
         """Re-key the stream per epoch for exact resume replay (the shared
@@ -156,9 +160,16 @@ class NeighborBatchLoader:
 
     def _make_batch(self, seeds: np.ndarray) -> GraphBatch:
         nodes, ei, et = self.sampler.sample_raw(seeds)
+        before = et.shape[0]  # BEFORE truncation — the data-loss ledger
+        # must count budget-truncated edges too
         if len(nodes) > self.node_budget - 1:
             # keep seeds + earliest-discovered neighbors within budget
             keep_n = self.node_budget - 1
+            if keep_n < len(seeds):
+                raise ValueError(
+                    f"node_budget={self.node_budget} cannot even hold the "
+                    f"{len(seeds)} seed nodes — batch rows [0, num_seed) "
+                    "would be pads")
             keep_mask = (ei[0] < keep_n) & (ei[1] < keep_n)
             ei, et = ei[:, keep_mask], et[keep_mask]
             nodes = nodes[:keep_n]
@@ -167,7 +178,6 @@ class NeighborBatchLoader:
                 np.zeros((len(nodes), 1), np.float32)
         else:
             x = None
-        before = et.shape[0]
         batch = pad_graph_batch(
             x, ei, et, num_relations=self.graph.num_relations,
             node_budget=self.node_budget, edge_budget=self.edge_budget,
@@ -185,7 +195,3 @@ class NeighborBatchLoader:
 
     def __len__(self):
         return -(-self.graph.num_nodes // self.batch_size)
-
-
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m

@@ -36,12 +36,19 @@ def random_walk(graph: CSRGraph, roots: np.ndarray, walk_length: int,
     walks = np.empty((len(roots), walk_length + 1), dtype=np.int64)
     walks[:, 0] = roots
     cur = roots.astype(np.int64)
+    if len(nbr) == 0:           # edgeless graph: every walk stays put
+        walks[:, 1:] = cur[:, None]
+        return walks
     for step in range(walk_length):
         starts = indptr[cur]
         deg = indptr[cur + 1] - starts
         offs = (rng.random(len(cur)) * np.maximum(deg, 1)).astype(np.int64)
-        nxt = nbr[starts + np.minimum(offs, np.maximum(deg - 1, 0))]
-        cur = np.where(deg > 0, nxt, cur)
+        # final clamp: a zero-out-degree node whose CSR start == E (sink
+        # after the last source id) would gather nbr[E] out of bounds
+        # before the deg>0 select masks it away
+        idx = np.minimum(starts + np.minimum(offs, np.maximum(deg - 1, 0)),
+                         len(nbr) - 1)
+        cur = np.where(deg > 0, nbr[idx], cur)
         walks[:, step + 1] = cur
     return walks
 
