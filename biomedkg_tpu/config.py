@@ -65,6 +65,16 @@ class Config(dict):
             node = node[part]
         node[parts[-1]] = Config._wrap(value)
 
+    def delete_dotted(self, dotted_key: str) -> None:
+        node: Any = self
+        parts = dotted_key.split(".")
+        for part in parts[:-1]:
+            if not isinstance(node, dict) or part not in node:
+                return
+            node = node[part]
+        if isinstance(node, dict):
+            node.pop(parts[-1], None)
+
     def get_dotted(self, dotted_key: str, default: Any = None) -> Any:
         node: Any = self
         for part in dotted_key.split("."):
@@ -85,11 +95,32 @@ class Config(dict):
 
 
 def _parse_value(text: str) -> Any:
-    """Parse an override value with yaml semantics (ints, floats, lists, null)."""
+    """Parse an override value with Hydra's grammar, not raw YAML 1.1:
+    ints, floats INCLUDING scientific notation (yaml.safe_load parses
+    '1e-3' as the string '1e-3' and would hand optax a str learning
+    rate), true/false/null literals, and yaml for [..]/{..} structures.
+    YAML 1.1-isms like on/off→bool and sexagesimal '3:04'→184 stay
+    plain strings, matching Hydra."""
+    s = text.strip()
+    low = s.lower()
+    if low in ("true", "false"):
+        return low == "true"
+    if low in ("null", "none", "~"):
+        return None
     try:
-        return yaml.safe_load(text)
-    except yaml.YAMLError:
-        return text
+        return int(s)
+    except ValueError:
+        pass
+    try:
+        return float(s)
+    except ValueError:
+        pass
+    if s[:1] in ("[", "{") or s[:1] in ("'", '"'):
+        try:
+            return yaml.safe_load(s)
+        except yaml.YAMLError:
+            return text
+    return text
 
 
 def _load_yaml(path: Path) -> Config:
@@ -137,22 +168,45 @@ def load_config(
 
     Override syntax matches Hydra's basic form used by the reference scripts
     (scripts/kge.sh:26-39): ``key=value`` and ``a.b=value``; a leading ``+``
-    (add-new-key) is accepted and ignored.
+    (add-new-key) is accepted and ignored; a leading ``~`` DELETES the key
+    (``~key`` or ``~key=value``, Hydra semantics); a dotless
+    ``group=name`` whose ``{config_dir}/{group}/{name}.yaml`` exists is a
+    GROUP SELECTION and composes that file (it previously clobbered the
+    composed group dict with the bare string).
     """
     config_dir = Path(config_dir)
+    if not config_dir.is_absolute() and not config_dir.exists():
+        # @hydra.main resolves config_path against the entry script's
+        # directory, not the CWD — mirror that so
+        # `cd /tmp && python /root/repo/train_kge.py` works
+        script_dir = Path(sys.argv[0]).resolve().parent
+        if (script_dir / config_dir).exists():
+            config_dir = script_dir / config_dir
     cfg = _compose_file(config_dir / f"{config_name}.yaml")
     for override in overrides or []:
+        if override.startswith("~"):
+            cfg.delete_dotted(override[1:].partition("=")[0])
+            continue
         if "=" not in override:
             raise ValueError(f"Malformed override (expected key=value): {override!r}")
         key, _, value = override.partition("=")
-        cfg.set_dotted(key.lstrip("+~"), _parse_value(value))
+        key = key.lstrip("+")
+        if "." not in key and isinstance(value, str) \
+                and (config_dir / key / f"{value}.yaml").exists():
+            # Hydra REPLACES the group choice (stale keys from the
+            # default group must not linger)
+            cfg[key] = _compose_file(config_dir / key / f"{value}.yaml")
+            continue
+        cfg.set_dotted(key, _parse_value(value))
     return cfg
 
 
 def cli_overrides(argv: Optional[List[str]] = None) -> List[str]:
-    """Extract ``key=value`` overrides from argv (skipping flags)."""
+    """Extract ``key=value`` (and bare ``~key`` delete) overrides from
+    argv, skipping flags."""
     argv = sys.argv[1:] if argv is None else argv
-    return [a for a in argv if "=" in a and not a.startswith("--")]
+    return [a for a in argv
+            if ("=" in a or a.startswith("~")) and not a.startswith("--")]
 
 
 def instantiate(node: Config, **kwargs: Any) -> Any:

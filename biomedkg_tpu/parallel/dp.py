@@ -89,7 +89,7 @@ def make_spmd_train_step(module, mesh: Mesh, param_shardings):
     batch_sh = GraphBatch(*[NamedSharding(mesh, P("dp"))
                             for _ in GraphBatch._fields])
     rng_sh = NamedSharding(mesh, P("dp"))
-    repl = NamedSharding(mesh, P())
+    # optimizer-state shardings are inferred by jit
 
     def loss_fn(params, batches, rngs):
         def per(batch, rng):
@@ -97,8 +97,6 @@ def make_spmd_train_step(module, mesh: Mesh, param_shardings):
                                         training=True)[0]
 
         return jnp.mean(jax.vmap(per)(batches, rngs))
-
-    del repl  # optimizer-state shardings are inferred by jit
 
     @functools.partial(
         jax.jit,

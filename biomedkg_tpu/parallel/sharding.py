@@ -23,8 +23,18 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def _spec_for(path: tuple, leaf) -> P:
-    names = [getattr(p, "key", getattr(p, "idx", None)) for p in path]
-    key = names[-1] if names else None
+    # only the LAST path entry names the leaf; handle dict keys
+    # (DictKey.key), sequence slots (SequenceKey.idx), and attr-style
+    # containers (GetAttrKey.name) so e.g. a NamedTuple param node still
+    # resolves instead of silently degrading the tp layout to replication
+    key = None
+    if path:
+        p = path[-1]
+        key = getattr(p, "key", None)
+        if key is None:
+            key = getattr(p, "name", None)
+        if key is None:
+            key = getattr(p, "idx", None)
     ndim = getattr(leaf, "ndim", 0)
     if key == "w_rel" and ndim == 3:
         return P(None, None, "tp")

@@ -51,3 +51,43 @@ def test_instantiate():
     node = Config._wrap({"_target_": "collections.OrderedDict"})
     obj = instantiate(node)
     assert obj.__class__.__name__ == "OrderedDict"
+
+
+def test_override_grammar_hydra_semantics(tmp_path):
+    """Hydra grammar, not raw YAML 1.1: scientific notation is a float,
+    on/off stay strings, ~key deletes, group=name composes the group
+    file (replacing, not clobbering with a string)."""
+    import os
+
+    from biomedkg_tpu.config import load_config
+
+    d = tmp_path / "configs"
+    (d / "data").mkdir(parents=True)
+    (d / "main.yaml").write_text(
+        "defaults:\n  - data: a\nlr: 0.1\nextra: 1\n")
+    (d / "data" / "a.yaml").write_text("name: a\nonly_a: 1\n")
+    (d / "data" / "b.yaml").write_text("name: b\n")
+
+    cfg = load_config(d, "main", ["lr=1e-3", "sw=on", "~extra", "data=b"])
+    assert isinstance(cfg.lr, float) and abs(cfg.lr - 1e-3) < 1e-12
+    assert cfg.sw == "on"                     # YAML 1.1 bool rejected
+    assert "extra" not in cfg                 # ~key deletes
+    assert cfg.data.name == "b"               # group selection composes
+    assert "only_a" not in cfg.data           # ...and REPLACES the group
+
+
+def test_config_dir_resolves_against_entry_script(tmp_path, monkeypatch):
+    """@hydra.main parity: running `python /repo/train_x.py` from any CWD
+    must find the repo's configs/."""
+    import subprocess
+    import sys
+
+    r = subprocess.run(
+        [sys.executable, "-c",
+         "import sys; sys.argv=['/root/repo/train_kge.py'];"
+         "from biomedkg_tpu.config import load_config;"
+         "print(load_config('configs', 'kge').seed)"],
+        capture_output=True, text=True, cwd=str(tmp_path),
+        env={**__import__('os').environ, 'PYTHONPATH': '/root/repo'})
+    assert r.returncode == 0, r.stderr
+    assert r.stdout.strip().isdigit()

@@ -23,8 +23,19 @@ def main(cfg):
         gcl_fuse_method=cfg.gcl_fuse_method, seed=cfg.seed)
     data_module.setup(stage="split")
 
+    import os
+
     pretrained_params = None
-    if not str(cfg.pretrained_path).endswith(".ckpt"):
+    pp = str(cfg.pretrained_path)
+    # warm start for BOTH checkpoint backends this framework writes:
+    # pickle .ckpt files AND orbax directories (suffix-only detection
+    # silently trained from scratch for orbax paths)
+    warm = pp.endswith(".ckpt") or os.path.isdir(pp)
+    if pp and pp.lower() not in ("none", "null", "") and not warm:
+        raise ValueError(
+            f"pretrained_path={pp!r} is neither a .ckpt file nor an "
+            "orbax checkpoint directory")
+    if not warm:
         model = KGEModule(
             **cfg.model,
             num_relation=data_module.data.num_edge_types,

@@ -28,11 +28,14 @@ def main(cfg):
         raise ValueError("Please select only one node type")
 
     # node-type normalization: "gene" → ["gene/protein"]
-    # (reference train_gcl.py:49-55)
-    if str(cfg.data.node_type).startswith("gene"):
-        cfg.data.node_type = ["gene/protein"]
-    else:
-        cfg.data.node_type = [cfg.data.node_type]
+    # (reference train_gcl.py:49-55). Unwrap a single-element list FIRST —
+    # str(["drug"]) would double-wrap to [["drug"]] and silently match
+    # zero rows downstream.
+    nt = cfg.data.node_type
+    if isinstance(nt, (list, tuple)):
+        nt = nt[0]
+    cfg.data.node_type = (["gene/protein"] if str(nt).startswith("gene")
+                          else [nt])
 
     data_module = cfglib.instantiate(cfg.data, seed=cfg.seed)
     data_module.setup(stage="split")
