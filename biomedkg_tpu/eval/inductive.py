@@ -59,10 +59,23 @@ def unseen_binary_metrics(module, params, z, split, neg_ratio: int = 3,
                                 np.asarray(t), np.asarray(r)))
 
     pos = _score(src, dst, et)
+    if len(unseen) < 2:
+        raise ValueError(
+            f"unseen-node eval needs >= 2 held-out nodes to corrupt "
+            f"against (got {len(unseen)}): every 'negative' would equal "
+            "its positive and AUROC would pin at 0.5")
     negs = []
     src_unseen = split.unseen_mask[src]
     for _ in range(max(1, neg_ratio)):
         repl = rng.choice(unseen, size=len(src))
+        # never draw the edge's own endpoint: a corruption equal to the
+        # true node is the positive triple relabeled 0 (a guaranteed tie
+        # that biases AUROC/AP down by ~1/|unseen| per resample)
+        true_end = np.where(src_unseen, src, dst)
+        coll = repl == true_end
+        while coll.any():
+            repl = np.where(coll, rng.choice(unseen, size=len(src)), repl)
+            coll = repl == true_end
         # corrupt the unseen endpoint (head if the head is unseen, else
         # tail; both-unseen edges corrupt the head)
         ns = np.where(src_unseen, repl, src)

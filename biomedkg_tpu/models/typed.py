@@ -66,28 +66,36 @@ def to_typed(tg) -> TypedGraph:
          for t in names}
 
     src, dst, et = g.edge_index[0], g.edge_index[1], g.edge_type
-    type_of = tg.node_type_of
+    type_of = np.asarray(tg.node_type_of)
     counts = {t: np.zeros((sizes[t], g.num_relations), np.float32)
               for t in names}
     sigs: Dict[Tuple[str, int, str], Tuple[np.ndarray, np.ndarray]] = {}
-    ht = np.asarray([names[i] for i in type_of])[src]
-    tt = np.asarray([names[i] for i in type_of])[dst]
-    for s_name in names:
-        for t_name in names:
-            sel_t = (ht == s_name) & (tt == t_name)
-            for r in np.unique(et[sel_t]):
-                sel = sel_t & (et == r)
-                sl = (src[sel] - tg.type_offset[s_name]).astype(np.int32)
-                dl = (dst[sel] - tg.type_offset[t_name]).astype(np.int32)
-                order = np.argsort(dl, kind="stable")
-                sigs[(s_name, int(r), t_name)] = (sl[order], dl[order])
-                np.add.at(counts[t_name], (dl, int(r)), 1.0)
+    # one integer composite key + sort instead of T²·R full-edge string
+    # scans (minutes of host work at PrimeKG scale)
+    T, R = len(names), g.num_relations
+    code = ((type_of[src].astype(np.int64) * T + type_of[dst]) * R
+            + et)
+    order = np.argsort(code, kind="stable")
+    sc = code[order]
+    if len(sc):
+        bounds = np.concatenate([[0], np.nonzero(np.diff(sc))[0] + 1,
+                                 [len(sc)]])
+        for lo, hi in zip(bounds[:-1], bounds[1:]):
+            c = int(sc[lo])
+            r, td, ts = c % R, (c // R) % T, c // (R * T)
+            s_name, t_name = names[ts], names[td]
+            idx = order[lo:hi]
+            sl = (src[idx] - tg.type_offset[s_name]).astype(np.int32)
+            dl = (dst[idx] - tg.type_offset[t_name]).astype(np.int32)
+            o2 = np.argsort(dl, kind="stable")
+            sigs[(s_name, r, t_name)] = (sl[o2], dl[o2])
+            np.add.at(counts[t_name], (dl, r), 1.0)
     return TypedGraph(type_names=names, x=x, counts=counts, sigs=sigs,
                       type_offset=dict(tg.type_offset),
                       num_relations=g.num_relations)
 
 
-def typed_encode(params, typed: TypedGraph, dims, *, rng=None,
+def typed_encode(params, typed: TypedGraph, *, rng=None,
                  training=False, drop_out=False):
     """RGCN forward over typed tables (params = RGCN.init format:
     layers of {w_rel (R, din, dout), w_root, b})."""

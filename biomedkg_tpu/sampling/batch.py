@@ -84,8 +84,10 @@ def pad_graph_batch(
     ``layout``:
       * "relation" — relation-sorted single-relation blocks (the Pallas
         grouped-GEMM contract, ops/pallas/relmm.py).
-      * "dst" — edges sorted by destination node; padding edges target the
-        dummy node (the LARGEST id) so the whole edge array stays sorted.
+      * "dst" — edges sorted by destination node. Pad SRCs target the
+        dummy node; pad DST/REL entries repeat the largest real values
+        (keeps the dst·R+rel key monotone and the sorted-segment windows
+        narrow) — the edge mask, NOT the ids, is the pad discriminator.
         Enables sorted-segment aggregation in node-centric convolutions
         (ops/pallas/segsum.py); ``block_rel`` is all zeros (unused).
     """
@@ -101,24 +103,36 @@ def pad_graph_batch(
     edge_type = np.asarray(edge_type, dtype=np.int32)
     num_edges = edge_type.shape[0]
 
-    # Drop overflow edges up front (conservative: worst-case per-relation
-    # padding adds < num_relations * block_size).
+    # Drop overflow edges up front. Capacity is LAYOUT-dependent: "dst"
+    # writes edges contiguously (no relation padding — capacity is
+    # exactly edge_budget slots), "relation" pays per-relation block
+    # padding. Using the padded figure for dst dropped real edges that
+    # fit whenever relation diversity exceeded the probed envelope.
     counts = np.bincount(edge_type, minlength=num_relations)
     padded_total = int(np.sum((counts + block_size - 1) // block_size) * block_size)
-    if padded_total > edge_budget:
-        keep = num_edges - (padded_total - edge_budget)
-        # Shrink until the padded total fits.
+    over = (num_edges > edge_budget) if layout == "dst" \
+        else (padded_total > edge_budget)
+    if over:
         rng = rng or np.random.default_rng(0)
         perm = rng.permutation(num_edges)
-        while keep > 0:
-            sel = perm[:keep]
-            counts = np.bincount(edge_type[sel], minlength=num_relations)
-            padded_total = int(
-                np.sum((counts + block_size - 1) // block_size) * block_size
-            )
-            if padded_total <= edge_budget:
-                break
-            keep -= max(1, padded_total - edge_budget)
+        if layout == "dst":
+            keep = edge_budget
+        else:
+            # proportional shrink — the old `num_edges − slot_excess`
+            # decrement conflated padded-SLOT units with edge counts and
+            # dropped EVERYTHING when the padding excess exceeded the
+            # edge count, though a large subset fit
+            keep = max(1, num_edges * edge_budget // padded_total)
+            while keep > 0:
+                sel = perm[:keep]
+                counts = np.bincount(edge_type[sel],
+                                     minlength=num_relations)
+                padded_total = int(np.sum(
+                    (counts + block_size - 1) // block_size) * block_size)
+                if padded_total <= edge_budget:
+                    break
+                keep = min(keep - 1,
+                           keep * edge_budget // max(padded_total, 1))
         sel = perm[:max(keep, 0)]
         edge_index = edge_index[:, sel]
         edge_type = edge_type[sel]
@@ -178,10 +192,7 @@ def pad_graph_batch(
     seg_padded = ((seg_sizes + block_size - 1) // block_size) * block_size
     seg_offsets = np.concatenate([[0], np.cumsum(seg_padded)[:-1]])
 
-    # Compact wire dtypes: device transfer is the wall-clock bottleneck on
-    # tunneled hosts; the step widens to int32 on device (stepping._widen).
-    idx_dtype = np.int16 if node_budget < 2**15 else np.int32
-    rel_dtype = np.int8 if num_relations < 2**7 else np.int32
+    idx_dtype, rel_dtype = idx_dt, rel_dt  # one dtype rule (hoisted above)
     dummy = node_budget - 1
     ei = np.full((2, edge_budget), dummy, dtype=idx_dtype)
     et = np.zeros(edge_budget, dtype=rel_dtype)

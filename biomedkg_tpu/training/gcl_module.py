@@ -301,14 +301,20 @@ class BaseGCL(JittedStepsMixin):
 
     def encode(self, params, batch):
         """Reference BaseGCL.forward (gcl_module.py:56-59): fused features
-        through the clean encoder — used for embedding export."""
-        @jax.jit
-        def fwd(p, b):
-            b = self._widen(b)
-            x = self.fusion_fn(p, self._batch_features(b), training=False)
-            return self.encoder.apply(p["model"]["encoder"], x,
-                                      b.edge_index, b.edge_mask,
-                                      training=False)
+        through the clean encoder — used for embedding export. Jitted
+        once via _jit_cache (a per-call @jax.jit closure would retrace
+        the full-graph forward on every export call)."""
+        fwd = self._jit_cache.get("encode")
+        if fwd is None:
+            @jax.jit
+            def fwd(p, b):
+                b = self._widen(b)
+                x = self.fusion_fn(p, self._batch_features(b),
+                                   training=False)
+                return self.encoder.apply(p["model"]["encoder"], x,
+                                          b.edge_index, b.edge_mask,
+                                          training=False)
+            self._jit_cache["encode"] = fwd
 
         return fwd(params, batch)
 
@@ -379,8 +385,11 @@ class GGDModule(BaseGCL):
 _GCL_CLASSES = {"dgi": DGIModule, "grace": GRACEModule, "ggd": GGDModule}
 
 
-def create_gcl_model(cfg) -> BaseGCL:
-    """Reference train_gcl.py:15-38."""
+def create_gcl_model(cfg, seed: int = 42) -> BaseGCL:
+    """Reference train_gcl.py:15-38. ``seed`` must be forwarded from the
+    run config — the Trainer derives every init/train/eval PRNGKey from
+    ``model.seed``, so omitting it made all GCL seed sweeps train with
+    identical parameters and rng streams."""
     cls = _GCL_CLASSES.get(cfg.model_name)
     if cls is None:
         raise NotImplementedError(cfg.model_name)
@@ -390,7 +399,7 @@ def create_gcl_model(cfg) -> BaseGCL:
                scheduler_type=cfg.scheduler_type,
                learning_rate=cfg.learning_rate,
                warm_up_ratio=cfg.warm_up_ratio,
-               fuse_method=cfg.fuse_method,
+               fuse_method=cfg.fuse_method, seed=seed,
                compute_dtype=cfg.get("compute_dtype", "float32"))
 
 

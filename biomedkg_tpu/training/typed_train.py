@@ -51,7 +51,7 @@ def typed_full_train(model, data_module, cfg):
     @jax.jit
     def step(params, opt, rng):
         def loss_fn(p):
-            z = concat_tables(typed_encode(p["encoder"], typed, enc.dims),
+            z = concat_tables(typed_encode(p["encoder"], typed),
                               typed.type_names)
             pos = dec.score(p["decoder"], z, src, dst, rel)
             r_s, r_d = jax.random.split(rng)
@@ -91,7 +91,7 @@ def _typed_binary_test(params, typed, enc, dec, data_module, neg_ratio,
     """Binary test metrics, reference protocol (sampled negatives),
     scored on the full-graph typed encode."""
     n = typed.num_nodes
-    z = concat_tables(typed_encode(params["encoder"], typed, enc.dims),
+    z = concat_tables(typed_encode(params["encoder"], typed),
                       typed.type_names)
     te = data_module.test_data
     tsrc = jnp.asarray(te.label_edge_index[0].astype(np.int32))

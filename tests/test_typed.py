@@ -46,7 +46,7 @@ def test_typed_encode_matches_homogeneous(graph):
     # block structure: every signature is single-relation / single-type
     assert len(typed.sigs) >= g.num_relations
     assert typed.num_nodes == g.num_nodes
-    tables = typed_encode(params, typed, enc.dims, training=False)
+    tables = typed_encode(params, typed, training=False)
     z = concat_tables(tables, typed.type_names)
     np.testing.assert_allclose(np.asarray(z), np.asarray(ref),
                                rtol=2e-4, atol=2e-4)
@@ -75,7 +75,7 @@ def test_typed_tables_train(graph):
     @jax.jit
     def step(params, opt, rng):
         def loss_fn(p):
-            tables = typed_encode(p["encoder"], typed, enc.dims)
+            tables = typed_encode(p["encoder"], typed)
             z = concat_tables(tables, typed.type_names)
             pos = dec.score(p["decoder"], z, src, dst, rel)
             r_s, r_d = jax.random.split(rng)

@@ -40,7 +40,7 @@ def main(cfg):
     data_module = cfglib.instantiate(cfg.data, seed=cfg.seed)
     data_module.setup(stage="split")
 
-    model = create_gcl_model(cfg=cfg.model)
+    model = create_gcl_model(cfg=cfg.model, seed=cfg.seed)
 
     # device-resident feature table: batches carry node ids only
     if data_module.graph.x is not None:
