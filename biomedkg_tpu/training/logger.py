@@ -25,7 +25,18 @@ class MetricsLogger:
         os.makedirs(save_dir, exist_ok=True)
         self._jsonl = open(os.path.join(save_dir, "metrics.jsonl"), "a")
         self._csv_path = os.path.join(save_dir, "metrics.csv")
-        self._csv_fields: Optional[list] = None
+        # the CSV schema GROWS as new metric keys appear (epoch val_*,
+        # final test_* — freezing it at the first train_loss row silently
+        # dropped every later metric), and an existing file is continued,
+        # not truncated (matching the jsonl append semantics)
+        self._csv_fields: list = ["step", "time"]
+        self._csv_rows: list = []
+        if os.path.exists(self._csv_path):
+            with open(self._csv_path, newline="") as f:
+                reader = csv.DictReader(f)
+                if reader.fieldnames:
+                    self._csv_fields = list(reader.fieldnames)
+                    self._csv_rows = list(reader)
         self._comet = self._try_comet(project_name)
 
     def _try_comet(self, project_name: str):
@@ -47,13 +58,24 @@ class MetricsLogger:
             k: float(v) for k, v in metrics.items()}}
         self._jsonl.write(json.dumps(record) + "\n")
         self._jsonl.flush()
-        if self._csv_fields is None:
-            self._csv_fields = list(record.keys())
+        self._csv_rows.append(record)
+        new_keys = [k for k in record if k not in self._csv_fields]
+        if new_keys:
+            # widen the schema and rewrite (metric logs are small)
+            self._csv_fields.extend(new_keys)
             with open(self._csv_path, "w", newline="") as f:
-                csv.DictWriter(f, fieldnames=self._csv_fields).writeheader()
-        with open(self._csv_path, "a", newline="") as f:
-            csv.DictWriter(f, fieldnames=self._csv_fields,
-                           extrasaction="ignore").writerow(record)
+                w = csv.DictWriter(f, fieldnames=self._csv_fields,
+                                   restval="")
+                w.writeheader()
+                w.writerows(self._csv_rows)
+        else:
+            write_header = not os.path.exists(self._csv_path)
+            with open(self._csv_path, "a", newline="") as f:
+                w = csv.DictWriter(f, fieldnames=self._csv_fields,
+                                   restval="")
+                if write_header:
+                    w.writeheader()
+                w.writerow(record)
         if self._comet is not None:  # pragma: no cover
             self._comet.log_metrics(metrics, step=step)
 

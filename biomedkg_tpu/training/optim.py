@@ -22,6 +22,13 @@ def warmup_schedule(scheduler_type: str, learning_rate: float,
     """
     num_warmup = int(num_training_steps * warm_up_ratio)
 
+    # validate eagerly: a typo'd scheduler (e.g. "consine") must fail at
+    # config time, not silently train at constant LR after warmup
+    if scheduler_type not in ("linear", "cosine", "constant"):
+        raise ValueError(
+            f"unknown scheduler_type {scheduler_type!r} "
+            "(expected linear | cosine | constant)")
+
     def schedule(step):
         import jax.numpy as jnp
 

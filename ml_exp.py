@@ -52,6 +52,16 @@ def main(ckpt_path: str, node_init_method: str, gcl_model: str,
 
     node_names = list(set(df["x_name"]) | set(df["y_name"]))
     node_embeddings = np.asarray(kge_encode(node_names)).squeeze(1)
+    # cache-miss diagnostic: misses get xavier-random rows — a large
+    # ratio means the DPI names don't match the checkpoint's node
+    # vocabulary, and the downstream F1/AP would benchmark noise
+    miss = float(getattr(kge_encode, "random_init_ratio", 0.0))
+    print(f"[ml_exp] KGE-embedding cache miss ratio: {miss:.3f}")
+    if miss > 0.5:
+        raise ValueError(
+            f"{miss:.0%} of DPI node names missing from the KGE "
+            "embedding cache — wrong checkpoint or mismatched node "
+            "vocabulary; results would be random-embedding noise")
     mapping = dict(zip(node_names, node_embeddings))
 
     head = np.stack([mapping[n] for n in df["x_name"]])
