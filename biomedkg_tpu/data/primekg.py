@@ -67,18 +67,35 @@ def user_supplied_csv(env_key: str,
 
 def _download_csv(csv_path: str) -> bool:
     """Fetch kg.csv without a shell (no injection surface) and validate
-    the schema before accepting it into the cache."""
+    the schema before accepting it into the cache. Atomic: downloads to
+    a .part sibling and renames only after validation, so a kill
+    mid-download can't leave a truncated kg.csv that later runs silently
+    train on. A socket timeout bounds firewalled environments that DROP
+    packets instead of rejecting them (urlretrieve would hang forever
+    and the synthetic fallback would never trigger)."""
+    import socket
+
+    part = csv_path + ".part"
+    old_timeout = socket.getdefaulttimeout()
     try:
-        urllib.request.urlretrieve(PRIMEKG_URL, csv_path)  # nosec B310
-    except Exception:
-        return False
-    try:
-        if os.path.getsize(csv_path) == 0:
+        socket.setdefaulttimeout(30)
+        urllib.request.urlretrieve(PRIMEKG_URL, part)  # nosec B310
+        if os.path.getsize(part) == 0:
             return False
-        header = set(pd.read_csv(csv_path, nrows=0).columns)
-        return _REQUIRED_COLUMNS <= header
+        header = set(pd.read_csv(part, nrows=0).columns)
+        if not _REQUIRED_COLUMNS <= header:
+            return False
+        os.replace(part, csv_path)
+        return True
     except Exception:
         return False
+    finally:
+        socket.setdefaulttimeout(old_timeout)
+        if os.path.exists(part):
+            try:
+                os.remove(part)
+            except OSError:
+                pass
 
 
 def _load_dataframe(data_dir: str) -> pd.DataFrame:
@@ -90,8 +107,13 @@ def _load_dataframe(data_dir: str) -> pd.DataFrame:
         from tdc.resource import PrimeKG as TDCPrimeKG  # optional dep
 
         return TDCPrimeKG(path=data_dir).df
-    except (ModuleNotFoundError, ImportError):
-        pass
+    except Exception as e:
+        # not just ImportError: with tdc INSTALLED but no egress, its
+        # dataverse download raises network errors — fall through to the
+        # local kg.csv / synthetic fallback instead of crashing
+        if not isinstance(e, (ModuleNotFoundError, ImportError)):
+            print(f"[biomedkg_tpu] TDC PrimeKG load failed "
+                  f"({type(e).__name__}); trying kg.csv / synthetic.")
 
     csv_path = os.path.join(data_dir, "kg.csv")
     if not os.path.exists(csv_path):
@@ -108,6 +130,14 @@ def _load_dataframe(data_dir: str) -> pd.DataFrame:
                                           num_disease=17000,
                                           num_edges=1_300_000, seed=42)
             return synthetic_triplets(seed=42)
+    # validate the CACHED file too (pre-atomic-download truncations or a
+    # hand-copied wrong csv must fail loudly, not train on garbage)
+    header = set(pd.read_csv(csv_path, nrows=0).columns)
+    if not _REQUIRED_COLUMNS <= header:
+        raise ValueError(
+            f"cached {csv_path} lacks required columns "
+            f"{sorted(_REQUIRED_COLUMNS - header)} — delete it to "
+            "re-download or set BIOMEDKG_KG_CSV")
     return pd.read_csv(csv_path, low_memory=False)
 
 

@@ -3,7 +3,7 @@
 Functional re-designs of /root/reference/biomedkg/model/gcl.py:8-93 for
 static-shape padded batches. Augmentations are mask-native:
 
-  * feature masking (PyG mask_feature mode='all') → column mask multiply
+  * feature masking (PyG mask_feature mode='all') → entrywise Bernoulli mask
   * edge dropout (PyG dropout_edge)               → edge_mask &= bernoulli
   * row-permutation corruption                    → masked argsort permutation
     that only shuffles real node rows (padding rows stay padding)

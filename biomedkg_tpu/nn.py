@@ -95,11 +95,13 @@ def dropout(rng, x: jax.Array, rate: float, deterministic: bool) -> jax.Array:
 
 
 def mask_feature(rng, x: jax.Array, p: float) -> jax.Array:
-    """Zero whole feature columns with prob ``p`` (PyG mask_feature mode='all').
-
-    Reference use: GRACE/GGD augmentations (model/gcl.py:40-43,76-78).
+    """Zero individual (node, feature) entries with prob ``p`` — PyG
+    ``mask_feature(mode='all')``, the mode the reference GRACE/GGD
+    augmentations use (model/gcl.py:40-43,76-78). NOT a column mask
+    (mode='col'): sharing one (F,) mask across all nodes removes every
+    bit of node-level stochasticity from the contrastive views.
     """
-    keep = jax.random.bernoulli(rng, 1.0 - p, (x.shape[-1],))
+    keep = jax.random.bernoulli(rng, 1.0 - p, x.shape)
     return x * keep.astype(x.dtype)
 
 

@@ -75,6 +75,11 @@ def relation_matmul_sorted(msg: jax.Array, weights: jax.Array,
       weights: (R, din, dout) per-relation weights.
       block_rel: (E_pad // block_size,) int32 relation id of each block.
     """
+    if msg.shape[0] % block_size:
+        raise ValueError(
+            f"relation_matmul_sorted needs E ({msg.shape[0]}) divisible "
+            f"by block_size ({block_size}) — the grid floors, leaving "
+            "the tail rows of the output UNWRITTEN (garbage)")
     return _relmm_pallas(msg, weights, block_rel, block_size)
 
 

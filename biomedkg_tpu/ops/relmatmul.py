@@ -54,7 +54,10 @@ def relation_matmul(
     path is used).
     """
     if impl == "auto":
-        on_tpu = jax.default_backend() == "tpu"
+        # ("tpu", "axon") like every other kernel gate in the repo —
+        # tpu-only silently demoted the axon plugin backend to the
+        # R-masked-matmul scan (R× the FLOPs)
+        on_tpu = jax.default_backend() in ("tpu", "axon")
         impl = "pallas" if (block_rel is not None and on_tpu) else "scan"
     if impl == "pallas":
         if block_rel is None:
