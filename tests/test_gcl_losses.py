@@ -234,3 +234,20 @@ def test_infonce_kernel_path_matches_dense():
     for a, b in zip(g_k, g_d):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-5, atol=2e-6)
+
+
+def test_mask_feature_is_entrywise():
+    """PyG mode='all' parity: different nodes must get different masks
+    (the old column mask shared one (F,) pattern across all nodes)."""
+    from biomedkg_tpu import nn
+
+    x = jnp.ones((64, 32))
+    out = np.asarray(nn.mask_feature(jax.random.PRNGKey(0), x, 0.4))
+    zero = out == 0.0
+    assert 0.2 < zero.mean() < 0.6                # ~p mass masked
+    # column mask would zero entire columns: every column must be mixed
+    col_all_zero = zero.all(axis=0)
+    col_all_keep = (~zero).all(axis=0)
+    assert not col_all_zero.all() and not col_all_keep.all()
+    # node-level stochasticity: rows differ
+    assert (zero[0] != zero[1]).any()
