@@ -16,9 +16,42 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 from __future__ import annotations
 
 import json
+import os
+import subprocess
+import sys
 import time
 
 import numpy as np
+
+
+def _require_backend(attempts=3, timeout_s=90, sleep_s=30):
+    """Fail fast (and loud) when the TPU backend is unreachable.
+
+    The axon tunnel's failure mode is a *hang* inside backend init
+    (``make_c_api_client`` blocks indefinitely), not an exception — so the
+    probe must run in a subprocess with a hard timeout.  On repeated
+    failure we emit a one-line structured diagnosis on stdout and exit
+    nonzero, so a driver-captured outage (BENCH_r03.json was a 40-line
+    traceback) is distinguishable from a code regression at a glance.
+    """
+    last = "unknown"
+    for i in range(attempts):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; d = jax.devices(); print(d[0].platform)"],
+                capture_output=True, text=True, timeout=timeout_s)
+            if r.returncode == 0:
+                return r.stdout.strip()
+            last = (r.stderr or r.stdout).strip().splitlines()[-1:] or ["?"]
+            last = last[0][:200]
+        except subprocess.TimeoutExpired:
+            last = f"backend init hang (> {timeout_s}s)"
+        if i + 1 < attempts:
+            time.sleep(sleep_s)
+    print(json.dumps({"error": "tpu backend unavailable",
+                      "detail": last, "attempts": attempts}))
+    sys.exit(1)
 
 MODEL = dict(in_dim=768, hidden_dim=256, out_dim=256, num_hidden_layers=2)
 NEG_RATIO = 10
@@ -203,6 +236,8 @@ def bench_torch_cpu(tg, batches, warmup=1, steps=4):
 
 
 def main():
+    if os.environ.get("BIOMEDKG_BENCH_NO_PROBE") != "1":
+        _require_backend()
     tg = build_graph()
     loader = make_loader(tg.graph)
     it = iter(loader)
