@@ -1,0 +1,322 @@
+"""Torch/Lightning checkpoint importer.
+
+The reference's reproduce-results path loads published pretrained Lightning
+checkpoints (reference README.md:111-116 -> HF ``tienda02/BioMedKG``;
+test_kge.py:22 ``KGEModule.load_from_checkpoint``). This module maps a
+Lightning ``.ckpt`` (a torch zip-archive save of ``{"state_dict",
+"hyper_parameters", ...}``) onto this framework's functional param trees so
+``test_kge.py`` / ``rank_eval.py`` / ``serve.py`` run from reference-trained
+weights — the same offline file-drop on-ramp pattern as ``BIOMEDKG_KG_CSV``.
+
+Key-map sources (param names on the torch side):
+  - RGCN encoder: PyG ``RGCNConv`` params ``weight`` (R, din, dout),
+    ``root`` (din, dout), ``bias`` (dout,) under
+    ``model.encoder.graph_layers.{i}.*`` (reference model/encoder.py:6-59).
+  - GCN encoder: PyG ``GCNConv`` params ``lin.weight`` (dout, din) and
+    ``bias`` (reference model/encoder.py:123-164); torch Linear weights are
+    (out, in) and this framework stores (in, out) for ``x @ W`` — transposed
+    on import.
+  - Decoders: ``model.decoder.rel_emb`` (+ ``rel_emb_imag`` for ComplEx)
+    (reference model/decoder.py:7-77).
+  - Fusion: ``modality_transform.{q,k,v}_proj`` (AttentionFusion) /
+    ``modal_weights``/``sub_type_embeddings``/``transform_layer``/
+    ``relational_context_layer`` (ReDAF) (reference utils/fusion.py:10-90).
+  - GCL heads: DGI ``model.project``, GRACE ``model.fc1/fc2``, GGD
+    ``model.mlp.{i}`` (reference model/gcl.py:8-94).
+
+Unpickling does NOT require ``lightning``/``omegaconf``/``PyGCL`` to be
+installed: Lightning stores ``hyper_parameters`` as an ``AttributeDict``
+(a dict subclass) and GCL checkpoints may embed contrast-model objects —
+``_PermissiveUnpickler`` substitutes inert stand-ins for any class it
+cannot import, keeping the tensors and plain containers intact.
+"""
+
+from __future__ import annotations
+
+import pickle
+import types
+import zipfile
+from typing import Any, Dict, Tuple
+
+import numpy as np
+
+__all__ = ["from_torch_checkpoint", "is_torch_checkpoint"]
+
+
+def is_torch_checkpoint(path: str) -> bool:
+    """Torch >=1.6 saves are zip archives; this framework's native ``.ckpt``
+    files are plain pickles — a cheap, unambiguous discriminator."""
+    try:
+        return zipfile.is_zipfile(path)
+    except OSError:
+        return False
+
+
+# ---------------------------------------------------------------------------
+# permissive unpickling
+
+
+class _StubBase(dict):
+    """Stand-in for an unimportable pickled class. Subclasses ``dict`` so
+    dict-subclass pickles (Lightning's AttributeDict) reconstruct with
+    their items; object-state pickles land in the same mapping via
+    ``__setstate__``."""
+
+    def __setstate__(self, state):
+        if isinstance(state, dict):
+            self.update(state)
+        elif isinstance(state, tuple):
+            for part in state:
+                if isinstance(part, dict):
+                    self.update(part)
+
+    def __getattr__(self, name):
+        try:
+            return self[name]
+        except KeyError:
+            raise AttributeError(name) from None
+
+
+def _make_stub(module: str, name: str):
+    return type(name, (_StubBase,), {"__module__": module})
+
+
+class _PermissiveUnpickler(pickle.Unpickler):
+    def find_class(self, module, name):
+        try:
+            return super().find_class(module, name)
+        except (ImportError, AttributeError):
+            return _make_stub(module, name)
+
+
+def _load_torch_file(path: str) -> Dict:
+    import torch
+
+    shim = types.ModuleType("biomedkg_tpu_pickle_shim")
+    shim.Unpickler = _PermissiveUnpickler
+    shim.load = lambda f, **kw: _PermissiveUnpickler(f, **kw).load()
+    try:
+        return torch.load(path, map_location="cpu", pickle_module=shim,
+                          weights_only=False)
+    except TypeError:  # older torch without weights_only
+        return torch.load(path, map_location="cpu", pickle_module=shim)
+
+
+def _np(t) -> np.ndarray:
+    arr = t.detach().cpu().numpy() if hasattr(t, "detach") else np.asarray(t)
+    return np.ascontiguousarray(arr.astype(np.float32, copy=False))
+
+
+# ---------------------------------------------------------------------------
+# sub-tree converters
+
+
+def _group_layers(sd: Dict[str, Any], prefix: str) -> list:
+    """Collect ``{prefix}.{i}.*`` into an index-ordered list of dicts."""
+    layers: Dict[int, Dict[str, Any]] = {}
+    for key, val in sd.items():
+        if not key.startswith(prefix + "."):
+            continue
+        rest = key[len(prefix) + 1:]
+        idx_s, _, leaf = rest.partition(".")
+        layers.setdefault(int(idx_s), {})[leaf] = val
+    if not layers:
+        raise KeyError(f"no '{prefix}.*' keys in state_dict")
+    n = max(layers) + 1
+    missing = [i for i in range(n) if i not in layers]
+    if missing:
+        raise KeyError(f"missing layer indices {missing} under '{prefix}'")
+    return [layers[i] for i in range(n)]
+
+
+def _convert_encoder(sd: Dict[str, Any], prefix: str) -> Dict:
+    """RGCN or GCN stack -> ``{"layers": [...]}`` (auto-detected per key
+    shape; reference encoder.py builds homogeneous stacks)."""
+    raw_layers = _group_layers(sd, prefix)
+    out = []
+    for i, lp in enumerate(raw_layers):
+        if "comp" in lp:
+            raise NotImplementedError(
+                "RGCNConv num_bases/num_blocks decomposition is not used by "
+                "the reference configs and is not supported by the importer")
+        if "weight" in lp and "root" in lp:          # RGCNConv
+            out.append({"w_rel": _np(lp["weight"]),
+                        "w_root": _np(lp["root"]),
+                        "b": _np(lp.get("bias", np.zeros(
+                            lp["root"].shape[-1])))})
+        elif "lin.weight" in lp:                      # GCNConv
+            out.append({"w": _np(lp["lin.weight"]).T,
+                        "b": _np(lp.get("bias", np.zeros(
+                            lp["lin.weight"].shape[0])))})
+        elif any(k.startswith(("att", "lin_")) for k in lp):
+            raise NotImplementedError(
+                "RGAT checkpoint import is not supported: the reference's "
+                "RGAT never trained (it crashes on construction — PARITY.md "
+                "'Fixed'), so no such checkpoint can exist")
+        else:
+            raise KeyError(f"unrecognized conv params at layer {i}: "
+                           f"{sorted(lp)}")
+    return {"layers": out}
+
+
+def _convert_linear(sd: Dict[str, Any], prefix: str) -> Dict:
+    p = {"w": _np(sd[prefix + ".weight"]).T}
+    if prefix + ".bias" in sd:
+        p["b"] = _np(sd[prefix + ".bias"])
+    return p
+
+
+def _convert_decoder(sd: Dict[str, Any], decoder_name: str) -> Dict:
+    rel = _np(sd["model.decoder.rel_emb"])
+    if "model.decoder.rel_emb_imag" not in sd:
+        return {"rel_emb": rel}
+    # ComplEx: the reference stores full-width rel_emb + rel_emb_imag but
+    # chunks z into halves (its forward cannot actually run — PARITY.md);
+    # this framework uses the consistent half-width packed form
+    # [real | imag]. Best-effort map: take the first half of each table.
+    imag = _np(sd["model.decoder.rel_emb_imag"])
+    half = rel.shape[1] // 2
+    return {"rel_emb": np.concatenate([rel[:, :half], imag[:, :half]],
+                                      axis=1)}
+
+
+def _convert_fusion(sd: Dict[str, Any]) -> Tuple[str, Dict]:
+    """Returns (fuse_method, fusion params) or ("none", {})."""
+    if "modality_transform.q_proj.weight" in sd:
+        return "attention", {
+            "q": _convert_linear(sd, "modality_transform.q_proj"),
+            "k": _convert_linear(sd, "modality_transform.k_proj"),
+            "v": _convert_linear(sd, "modality_transform.v_proj"),
+        }
+    if "modality_transform.modal_weights" in sd:
+        return "redaf", {
+            "modal_weights": _np(sd["modality_transform.modal_weights"]),
+            "sub_type_emb": {"table": _np(
+                sd["modality_transform.sub_type_embeddings.weight"])},
+            "transform": _convert_linear(
+                sd, "modality_transform.transform_layer"),
+            "rel_context": _convert_linear(
+                sd, "modality_transform.relational_context_layer"),
+        }
+    return "none", {}
+
+
+# ---------------------------------------------------------------------------
+# whole-checkpoint conversion
+
+
+_KGE_HPARAM_KEYS = (
+    "encoder_name", "decoder_name", "in_dim", "hidden_dim", "out_dim",
+    "num_hidden_layers", "num_relation", "num_heads", "scheduler_type",
+    "learning_rate", "warm_up_ratio", "fuse_method", "neg_ratio",
+    "node_init_method")
+_GCL_HPARAM_KEYS = (
+    "in_dim", "hidden_dim", "out_dim", "num_hidden_layers",
+    "scheduler_type", "learning_rate", "warm_up_ratio", "fuse_method")
+
+
+def _plain(v):
+    """Unwrap stubbed hyper-parameter leaves to plain python values."""
+    if isinstance(v, _StubBase):
+        return {k: _plain(x) for k, x in v.items()}
+    if isinstance(v, dict):
+        return {k: _plain(x) for k, x in v.items()}
+    if hasattr(v, "item") and getattr(v, "ndim", 1) == 0:
+        return v.item()
+    return v
+
+
+def _detect_kind(sd: Dict[str, Any]) -> Tuple[str, str]:
+    """-> (kind, model_name)."""
+    if "model.decoder.rel_emb" in sd:
+        return "kge", "kge"
+    if "model.project.weight" in sd:
+        return "gcl", "dgi"
+    if "model.fc1.weight" in sd:
+        return "gcl", "grace"
+    if "model.mlp.0.weight" in sd:
+        return "gcl", "ggd"
+    raise ValueError(
+        "unrecognized Lightning checkpoint: expected a reference KGEModule "
+        "(model.decoder.rel_emb) or DGI/GRACE/GGD module state_dict, got "
+        f"keys like {sorted(sd)[:6]}")
+
+
+def from_torch_checkpoint(path: str) -> Dict:
+    """Convert a reference Lightning ``.ckpt`` into this framework's native
+    checkpoint payload ``{"kind", "hparams", "params", "opt_state", "step",
+    "extras"}`` (training/checkpoint.py contract), so every existing loader
+    (``load_kge_module``/``load_gcl_module``/serving/stage bridges) accepts
+    reference-trained weights unchanged."""
+    raw = _load_torch_file(path)
+    if "state_dict" not in raw:
+        raise ValueError(f"{path}: no 'state_dict' — not a Lightning ckpt")
+    sd = dict(raw["state_dict"])
+    hp = {k: _plain(v) for k, v in dict(raw.get("hyper_parameters",
+                                                {})).items()}
+    kind, model_name = _detect_kind(sd)
+
+    params: Dict[str, Any] = {
+        "model": {"encoder": _convert_encoder(sd, "model.encoder.graph_layers")}}
+    fuse_method, fusion = _convert_fusion(sd)
+    if fusion:
+        params["fusion"] = fusion
+
+    if kind == "kge":
+        decoder_name = hp.get("decoder_name", "dismult")
+        params["model"]["decoder"] = _convert_decoder(sd, decoder_name)
+        enc0 = params["model"]["encoder"]["layers"][0]
+        rel_emb = params["model"]["decoder"]["rel_emb"]
+        derived = dict(
+            encoder_name="rgcn" if "w_rel" in enc0 else "gcn",
+            decoder_name=decoder_name,
+            in_dim=(enc0["w_rel"] if "w_rel" in enc0 else enc0["w"]).shape[-2],
+            hidden_dim=(enc0["w_rel"] if "w_rel" in enc0
+                        else enc0["w"]).shape[-1],
+            out_dim=params["model"]["encoder"]["layers"][-1][
+                "w_rel" if "w_rel" in enc0 else "w"].shape[-1],
+            num_hidden_layers=len(params["model"]["encoder"]["layers"]) - 2,
+            num_relation=(enc0["w_rel"].shape[0] if "w_rel" in enc0
+                          else rel_emb.shape[0]),
+            num_heads=1, scheduler_type="cosine", learning_rate=1e-3,
+            warm_up_ratio=0.03, fuse_method=fuse_method, neg_ratio=1,
+            node_init_method="random")
+        hparams = {k: hp.get(k, derived[k]) for k in _KGE_HPARAM_KEYS}
+        if fuse_method != "none":
+            hparams["fuse_method"] = fuse_method
+            hparams["node_init_method"] = "lm"
+        extras = {}
+    else:
+        if model_name == "dgi":
+            params["model"]["project"] = _convert_linear(sd, "model.project")
+        elif model_name == "grace":
+            params["model"]["fc1"] = _convert_linear(sd, "model.fc1")
+            params["model"]["fc2"] = _convert_linear(sd, "model.fc2")
+        else:  # ggd
+            params["model"]["mlp"] = [
+                _convert_linear(sd, f"model.mlp.{i}")
+                for i in range(len(_group_layers(sd, "model.mlp")))]
+        enc_layers = params["model"]["encoder"]["layers"]
+        if "w" not in enc_layers[0]:
+            raise NotImplementedError(
+                "reference GCL modules always wrap GCNEncoder "
+                "(gcl_module.py DGIModule/GRACEModule/GGDModule)")
+        derived = dict(
+            in_dim=enc_layers[0]["w"].shape[0],
+            hidden_dim=enc_layers[0]["w"].shape[-1],
+            out_dim=enc_layers[-1]["w"].shape[-1],
+            num_hidden_layers=len(enc_layers) - 2,
+            scheduler_type="cosine", learning_rate=2e-4,
+            warm_up_ratio=0.03, fuse_method=fuse_method)
+        hparams = {k: hp.get(k, derived[k]) for k in _GCL_HPARAM_KEYS}
+        if fuse_method != "none":
+            hparams["fuse_method"] = fuse_method
+        if hparams.get("fuse_method") is None:
+            hparams["fuse_method"] = "none"
+        extras = {"model_name": model_name}
+
+    if hparams.get("fuse_method") is None:
+        hparams["fuse_method"] = "none"
+    step = int(raw.get("global_step", 0) or 0)
+    return {"kind": kind, "hparams": hparams, "params": params,
+            "opt_state": None, "step": step, "extras": extras}

@@ -54,6 +54,16 @@ def save_checkpoint(path: str, kind: str, hparams: Dict, params: Any,
 
 
 def load_checkpoint(path: str) -> Dict:
+    """Load a native ``.ckpt`` (plain pickle). A reference Lightning
+    ``.ckpt`` (torch zip-archive save — reference test_kge.py:22,
+    README.md:111-116 pretrained weights) is detected by its zip magic and
+    converted in place, so every loader in the framework accepts
+    reference-trained checkpoints as a drop-in."""
+    from ..interop.torch_ckpt import from_torch_checkpoint, \
+        is_torch_checkpoint
+
+    if is_torch_checkpoint(path):
+        return from_torch_checkpoint(path)
     with open(path, "rb") as f:
         return pickle.load(f)
 

@@ -76,3 +76,31 @@ def test_kge_ckpt_then_test_and_rank_eval(repo_root, tmp_path):
               overrides + [f"pretrained_path={ckpts[0]}"])
     assert r3.returncode == 0, r3.stderr[-3000:]
     assert "mrr" in r3.stdout and "hits@10" in r3.stdout
+
+
+@pytest.mark.slow
+def test_kge_eval_from_reference_torch_ckpt(repo_root, tmp_path):
+    """test_kge.py + rank_eval.py run directly from a reference-format
+    Lightning .ckpt (VERDICT round-3 item #5 'done' criterion): the
+    zip-magic detour in load_checkpoint converts the torch state_dict in
+    place, so the published pretrained weights are a drop-in."""
+    sys.path.insert(0, os.path.join(repo_root, "tests", "fixtures"))
+    from gen_torch_ckpt import make_kge_ckpt, remove_fake_lightning
+
+    ckpt = str(tmp_path / "ref_lightning.ckpt")
+    # dims matching the CLI synthetic fallback: embed_dim=32 features,
+    # 8 relation signatures (data/synthetic.py PRIMEKG_RELATIONS)
+    make_kge_ckpt(ckpt, in_dim=32, hidden_dim=32, out_dim=32,
+                  num_hidden_layers=1, num_relation=8, seed=11)
+    remove_fake_lightning()
+
+    overrides = [o for o in KGE_OVERRIDES if o != "debug=true"]
+    r = _run(repo_root, tmp_path, "test_kge.py",
+             overrides + [f"pretrained_path={ckpt}", "neg_ratio=3"])
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "test_AUROC" in r.stdout
+
+    r2 = _run(repo_root, tmp_path, "rank_eval.py",
+              overrides + [f"pretrained_path={ckpt}"])
+    assert r2.returncode == 0, r2.stderr[-3000:]
+    assert "mrr" in r2.stdout and "hits@10" in r2.stdout

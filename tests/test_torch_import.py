@@ -1,0 +1,167 @@
+"""Torch/Lightning checkpoint importer (VERDICT round-3 item #5).
+
+Fixtures are reference-format Lightning ``.ckpt`` zip archives with the
+exact state_dict key vocabulary of the reference modules (committed
+binaries in tests/fixtures/ + the generator that made them). Loading runs
+WITHOUT lightning installed — the permissive unpickler substitutes inert
+stand-ins for ``AttributeDict`` and the embedded PyGCL contrast-model
+object. Numerics: the imported params must produce the same encoder
+output / scores as a torch float64 twin of the reference semantics run
+from the same torch weights.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+FIXDIR = os.path.join(os.path.dirname(__file__), "fixtures")
+sys.path.insert(0, FIXDIR)
+
+from gen_torch_ckpt import (  # noqa: E402
+    make_grace_ckpt, make_kge_ckpt, remove_fake_lightning)
+
+
+@pytest.fixture(autouse=True)
+def _no_fake_lightning():
+    """Loads must exercise the lightning-not-installed path."""
+    remove_fake_lightning()
+    yield
+    remove_fake_lightning()
+
+
+def test_committed_kge_fixture_loads_and_matches_torch_twin():
+    import torch
+
+    from biomedkg_tpu.sampling.batch import pad_graph_batch
+    from biomedkg_tpu.training.kge_module import load_kge_module
+    from test_parity import _torch_rgcn_forward
+
+    path = os.path.join(FIXDIR, "ref_kge_tiny.ckpt")
+    module, params = load_kge_module(path)
+    assert module.hparams["encoder_name"] == "rgcn"
+    assert module.hparams["decoder_name"] == "dismult"
+    assert module.hparams["num_relation"] == 3
+
+    # same tiny graph through both stacks
+    rng = np.random.default_rng(7)
+    n, e, r = 20, 60, 3
+    src = rng.integers(0, n, e)
+    dst = rng.integers(0, n, e)
+    et = rng.integers(0, r, e)
+    x = rng.standard_normal((n, 8)).astype(np.float32)
+    batch = pad_graph_batch(x, np.stack([src, dst]), et, num_relations=r,
+                            node_budget=32, edge_budget=128, block_size=32,
+                            num_seed=n, rng=rng)
+    z = np.asarray(module.encode(params, batch))[:n]
+
+    # torch twin from the RAW torch weights (keys per reference
+    # model/encoder.py RGCNConv params)
+    from biomedkg_tpu.interop.torch_ckpt import _load_torch_file
+
+    sd = {k: v.double() for k, v in
+          _load_torch_file(path)["state_dict"].items()}
+    layers = []
+    i = 0
+    while f"model.encoder.graph_layers.{i}.weight" in sd:
+        p = f"model.encoder.graph_layers.{i}"
+        layers.append({"w_rel": sd[p + ".weight"], "w_root": sd[p + ".root"],
+                       "b": sd[p + ".bias"]})
+        i += 1
+    emask = torch.tensor(batch.edge_mask.astype(np.float64))
+    xt = torch.from_numpy(batch.x.astype(np.float64))
+    z_ref = _torch_rgcn_forward(
+        layers, xt, torch.from_numpy(batch.edge_index[0].astype(np.int64)),
+        torch.from_numpy(batch.edge_index[1].astype(np.int64)),
+        torch.from_numpy(batch.edge_type.astype(np.int64)), emask,
+        len(batch.node_mask), r)[:n].numpy()
+    np.testing.assert_allclose(z, z_ref, rtol=2e-4, atol=2e-4)
+
+    # DistMult scores from imported rel_emb
+    rel = np.asarray(params["model"]["decoder"]["rel_emb"])
+    want = (z_ref[src] * rel[et].astype(np.float64) * z_ref[dst]).sum(-1)
+    got = np.asarray(module.model.decode(
+        params["model"], np.asarray(z_ref, np.float32),
+        src.astype(np.int32), dst.astype(np.int32), et.astype(np.int32)))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_committed_grace_fixture_loads_and_projects():
+    import torch
+
+    from biomedkg_tpu.training.gcl_module import load_gcl_module
+
+    path = os.path.join(FIXDIR, "ref_grace_tiny.ckpt")
+    module, params = load_gcl_module(path)
+    assert module.hparams["in_dim"] == 8
+
+    from biomedkg_tpu.interop.torch_ckpt import _load_torch_file
+
+    sd = _load_torch_file(path)["state_dict"]
+    z = np.random.default_rng(3).standard_normal((10, 8)).astype(np.float32)
+    got = np.asarray(module.model.project(params["model"], z))
+    import torch.nn.functional as F
+
+    h = F.elu(torch.from_numpy(z) @ sd["model.fc1.weight"].T
+              + sd["model.fc1.bias"])
+    want = (h @ sd["model.fc2.weight"].T + sd["model.fc2.bias"]).numpy()
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_regenerated_fixture_roundtrip(tmp_path):
+    """The generator + importer agree for non-default shapes too."""
+    from biomedkg_tpu.training.kge_module import load_kge_module
+
+    p = make_kge_ckpt(str(tmp_path / "k.ckpt"), in_dim=12, hidden_dim=16,
+                      out_dim=8, num_hidden_layers=2, num_relation=5,
+                      seed=9)
+    remove_fake_lightning()
+    module, params = load_kge_module(p)
+    assert module.hparams["in_dim"] == 12
+    assert module.hparams["num_hidden_layers"] == 2
+    layers = params["model"]["encoder"]["layers"]
+    assert len(layers) == 4
+    assert layers[0]["w_rel"].shape == (5, 12, 16)
+    assert layers[-1]["w_rel"].shape == (5, 16, 8)
+    assert params["model"]["decoder"]["rel_emb"].shape == (5, 8)
+
+    p2 = make_grace_ckpt(str(tmp_path / "g.ckpt"), in_dim=6, hidden_dim=10,
+                         out_dim=10, num_hidden_layers=1, seed=4)
+    remove_fake_lightning()
+    from biomedkg_tpu.training.gcl_module import load_gcl_module
+
+    module2, params2 = load_gcl_module(p2)
+    assert module2.hparams["hidden_dim"] == 10
+    assert params2["model"]["fc1"]["w"].shape == (10, 10)
+
+
+def test_native_ckpt_still_loads(tmp_path):
+    """zip-detection must not reroute this framework's own pickles."""
+    from biomedkg_tpu.training.checkpoint import (load_checkpoint,
+                                                  save_checkpoint)
+
+    p = str(tmp_path / "native.ckpt")
+    save_checkpoint(p, kind="kge", hparams={"a": 1},
+                    params={"w": np.ones(3, np.float32)})
+    ck = load_checkpoint(p)
+    assert ck["kind"] == "kge" and ck["hparams"] == {"a": 1}
+
+
+def test_unrecognized_torch_zip_errors(tmp_path):
+    import torch
+
+    from biomedkg_tpu.training.checkpoint import load_checkpoint
+
+    p = str(tmp_path / "odd.ckpt")
+    torch.save({"weights": torch.ones(2)}, p)
+    with pytest.raises(ValueError, match="state_dict"):
+        load_checkpoint(p)
+
+    p2 = str(tmp_path / "odd2.ckpt")
+    torch.save({"state_dict": {"foo.bar": torch.ones(2)},
+                "hyper_parameters": {}}, p2)
+    with pytest.raises(ValueError, match="unrecognized"):
+        load_checkpoint(p2)
