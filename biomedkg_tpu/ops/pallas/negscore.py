@@ -174,7 +174,7 @@ def _distance_bwd(mode, h, t, r_rows, ds_col):
     return dh, dt, dre_slot
 
 
-def _window_accumulate(n_pad, lo, ids, body):
+def _window_accumulate(n_pad, ids, body):
     """Run ``body(base, in_win)`` for every WINDOW-sized span that
     contains an id. Contiguous windows from the chunk's min id to its max
     (scalar bounds), swept by a fori_loop — kernel code size is ONE body
@@ -182,7 +182,6 @@ def _window_accumulate(n_pad, lo, ids, body):
     to ~n_pad/WINDOW copies, inflating compile time; advisor item).
     Coverage is total for sorted ids, so no id is ever dropped; typically
     exactly one window is occupied at production densities."""
-    del lo  # window placement derives from the ids themselves
     valid = ids >= 0
     big = jnp.int32(2 ** 30)
     minv = jnp.min(jnp.where(valid, ids, big))
@@ -200,7 +199,7 @@ def _window_accumulate(n_pad, lo, ids, body):
     jax.lax.fori_loop(0, nwin, loop, 0)
 
 
-def _gather_h(n_pad, lo_raw, ids, z_ref, h_ref, dtype):
+def _gather_h(n_pad, ids, z_ref, h_ref, dtype):
     """h_ref (B, d) ← windowed one-hot gather of z rows at sorted ids."""
     h_ref[:] = jnp.zeros_like(h_ref)
 
@@ -213,7 +212,40 @@ def _gather_h(n_pad, lo_raw, ids, z_ref, h_ref, dtype):
             oh, z_win, dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32).astype(dtype)
 
-    _window_accumulate(n_pad, lo_raw * ALIGN, ids, body)
+    _window_accumulate(n_pad, ids, body)
+
+
+def _scatter_windows(n_pad, ids, grads, dz_ref):
+    """dz_ref[ids] += grads via windowed one-hot matmuls — the scatter
+    transpose of _gather_h (one body, shared by every backward kernel)."""
+
+    def body(base, in_win):
+        rows = jax.lax.broadcasted_iota(
+            jnp.int32, (WINDOW, ids.shape[0]), 0) + base
+        oh = ((rows == ids[None, :]) & in_win[None, :]).astype(grads.dtype)
+        dz_ref[pl.ds(base, WINDOW), :] += jax.lax.dot_general(
+            oh, grads, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    _window_accumulate(n_pad, ids, body)
+
+
+def _score_chunk(mode, h, t, rel, re_ref):
+    """(B,) scores for one chunk — the shared forward tail. Bilinear
+    modes project against ALL R relations in one (R, d) @ (d, B) matmul
+    and the slot's relation picks its column; distance modes build the
+    slot's relation rows in-kernel (ohr @ rel table)."""
+    if mode in BILINEAR_MODES:
+        ht = _combine_fwd(mode, h, t)
+        pt = jax.lax.dot_general(                    # (R, B) projection
+            re_ref[:], ht, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        ohr = (jax.lax.broadcasted_iota(
+            jnp.int32, (re_ref.shape[0], rel.shape[0]), 0)
+            == rel[None, :])
+        return jnp.sum(jnp.where(ohr, pt, 0.0), axis=0)
+    _, r_rows = _slot_rel(re_ref, rel, t.dtype)
+    return _distance_score(mode, h, t, r_rows)
 
 
 def _slot_rel(re_ref, rel, dtype):
@@ -227,25 +259,13 @@ def _slot_rel(re_ref, rel, dtype):
     return ohr, r_rows
 
 
-def _fwd_kernel(mode, n_pad, lo_ref, ids_ref, rel_ref, t_ref, z_ref,
+def _fwd_kernel(mode, n_pad, ids_ref, rel_ref, t_ref, z_ref,
                 re_ref, out_ref, h_ref):
     c = pl.program_id(0)
     ids = ids_ref[c % 8, :]                          # (B,) lane-major
-    _gather_h(n_pad, lo_ref[c], ids, z_ref, h_ref, t_ref.dtype)
+    _gather_h(n_pad, ids, z_ref, h_ref, t_ref.dtype)
     rel = rel_ref[c % 8, :]                          # (B,) lane-major
-    if mode in BILINEAR_MODES:
-        ht = _combine_fwd(mode, h_ref[:], t_ref[:])
-        pt = jax.lax.dot_general(                    # (R, B) projection
-            re_ref[:], ht, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        ohr = (jax.lax.broadcasted_iota(
-            jnp.int32, (re_ref.shape[0], rel.shape[0]), 0)
-            == rel[None, :])
-        out_ref[c % 8, :] = jnp.sum(jnp.where(ohr, pt, 0.0), axis=0)
-    else:
-        _, r_rows = _slot_rel(re_ref, rel, t_ref.dtype)
-        out_ref[c % 8, :] = _distance_score(mode, h_ref[:], t_ref[:],
-                                            r_rows)
+    out_ref[c % 8, :] = _score_chunk(mode, h_ref[:], t_ref[:], rel, re_ref)
 
 
 def _chunk_grads(mode, h, t, r_rows, ohr, ds_col):
@@ -266,7 +286,7 @@ def _chunk_grads(mode, h, t, r_rows, ohr, ds_col):
     return dh, dt, dre_up
 
 
-def _bwd_kernel(mode, n_pad, lo_ref, ids_ref, rel_ref, t_ref, ds_ref, z_ref,
+def _bwd_kernel(mode, n_pad, ids_ref, rel_ref, t_ref, ds_ref, z_ref,
                 re_ref, dz_ref, dre_ref, dt_ref, h_ref):
     c = pl.program_id(0)
 
@@ -276,7 +296,7 @@ def _bwd_kernel(mode, n_pad, lo_ref, ids_ref, rel_ref, t_ref, ds_ref, z_ref,
         dre_ref[:] = jnp.zeros_like(dre_ref)
 
     ids = ids_ref[c % 8, :]
-    _gather_h(n_pad, lo_ref[c], ids, z_ref, h_ref, t_ref.dtype)
+    _gather_h(n_pad, ids, z_ref, h_ref, t_ref.dtype)
     h = h_ref[:]
     rel = rel_ref[c % 8, :]
     ohr, r_rows = _slot_rel(re_ref, rel, t_ref.dtype)
@@ -285,19 +305,10 @@ def _bwd_kernel(mode, n_pad, lo_ref, ids_ref, rel_ref, t_ref, ds_ref, z_ref,
     dh, dt, dre_up = _chunk_grads(mode, h, t, r_rows, ohr, ds_col)
     dt_ref[:] = dt.astype(dt_ref.dtype)
     dre_ref[:] += dre_up
-
-    def body(base, in_win):                          # dz_src windows
-        rows = jax.lax.broadcasted_iota(
-            jnp.int32, (WINDOW, ids.shape[0]), 0) + base
-        oh = ((rows == ids[None, :]) & in_win[None, :]).astype(t.dtype)
-        dz_ref[pl.ds(base, WINDOW), :] += jax.lax.dot_general(
-            oh, dh, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-
-    _window_accumulate(n_pad, lo_ref[c] * ALIGN, ids, body)
+    _scatter_windows(n_pad, ids, dh, dz_ref)
 
 
-def _fwd_kernel_ds(mode, n_pad, lo_ref, ids_ref, rel_ref, nd_ref, z_ref,
+def _fwd_kernel_ds(mode, n_pad, ids_ref, rel_ref, nd_ref, z_ref,
                    re_ref, out_ref, h_ref, t_ref):
     """Forward with BOTH endpoint gathers in-VMEM (the "sorted2"
     sampler: nd is iid uniform inside a per-chunk random narrow band —
@@ -306,26 +317,14 @@ def _fwd_kernel_ds(mode, n_pad, lo_ref, ids_ref, rel_ref, nd_ref, z_ref,
     longer fori_loop, same code)."""
     c = pl.program_id(0)
     ids = ids_ref[c % 8, :]
-    _gather_h(n_pad, lo_ref[c], ids, z_ref, h_ref, jnp.bfloat16)
+    _gather_h(n_pad, ids, z_ref, h_ref, jnp.bfloat16)
     nd = nd_ref[c % 8, :]
-    _gather_h(n_pad, lo_ref[c], nd, z_ref, t_ref, jnp.bfloat16)
+    _gather_h(n_pad, nd, z_ref, t_ref, jnp.bfloat16)
     rel = rel_ref[c % 8, :]
-    if mode in BILINEAR_MODES:
-        ht = _combine_fwd(mode, h_ref[:], t_ref[:])
-        pt = jax.lax.dot_general(
-            re_ref[:], ht, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        ohr = (jax.lax.broadcasted_iota(
-            jnp.int32, (re_ref.shape[0], rel.shape[0]), 0)
-            == rel[None, :])
-        out_ref[c % 8, :] = jnp.sum(jnp.where(ohr, pt, 0.0), axis=0)
-    else:
-        _, r_rows = _slot_rel(re_ref, rel, jnp.bfloat16)
-        out_ref[c % 8, :] = _distance_score(mode, h_ref[:], t_ref[:],
-                                            r_rows)
+    out_ref[c % 8, :] = _score_chunk(mode, h_ref[:], t_ref[:], rel, re_ref)
 
 
-def _bwd_kernel_ds(mode, n_pad, lo_ref, ids_ref, rel_ref, nd_ref, ds_ref,
+def _bwd_kernel_ds(mode, n_pad, ids_ref, rel_ref, nd_ref, ds_ref,
                    z_ref, re_ref, dz_ref, dre_ref, h_ref, t_ref):
     """Backward with the dst contribution folded into the SAME windowed
     dz accumulation as the src side — no (K·E, d) dt stream, no XLA
@@ -339,9 +338,9 @@ def _bwd_kernel_ds(mode, n_pad, lo_ref, ids_ref, rel_ref, nd_ref, ds_ref,
         dre_ref[:] = jnp.zeros_like(dre_ref)
 
     ids = ids_ref[c % 8, :]
-    _gather_h(n_pad, lo_ref[c], ids, z_ref, h_ref, jnp.bfloat16)
+    _gather_h(n_pad, ids, z_ref, h_ref, jnp.bfloat16)
     nd = nd_ref[c % 8, :]
-    _gather_h(n_pad, lo_ref[c], nd, z_ref, t_ref, jnp.bfloat16)
+    _gather_h(n_pad, nd, z_ref, t_ref, jnp.bfloat16)
     h = h_ref[:]
     t = t_ref[:]
     rel = rel_ref[c % 8, :]
@@ -349,59 +348,36 @@ def _bwd_kernel_ds(mode, n_pad, lo_ref, ids_ref, rel_ref, nd_ref, ds_ref,
     ds_col = ds_ref[c % 8, :].reshape(-1, 1).astype(jnp.bfloat16)
     dh, dt, dre_up = _chunk_grads(mode, h, t, r_rows, ohr, ds_col)
     dre_ref[:] += dre_up
-
-    def body_src(base, in_win):
-        rows = jax.lax.broadcasted_iota(
-            jnp.int32, (WINDOW, ids.shape[0]), 0) + base
-        oh = ((rows == ids[None, :]) & in_win[None, :]).astype(h.dtype)
-        dz_ref[pl.ds(base, WINDOW), :] += jax.lax.dot_general(
-            oh, dh, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-
-    _window_accumulate(n_pad, lo_ref[c] * ALIGN, ids, body_src)
-
-    def body_dst(base, in_win):
-        rows = jax.lax.broadcasted_iota(
-            jnp.int32, (WINDOW, nd.shape[0]), 0) + base
-        oh = ((rows == nd[None, :]) & in_win[None, :]).astype(t.dtype)
-        dz_ref[pl.ds(base, WINDOW), :] += jax.lax.dot_general(
-            oh, dt, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-
-    _window_accumulate(n_pad, lo_ref[c] * ALIGN, nd, body_dst)
+    _scatter_windows(n_pad, ids, dh, dz_ref)
+    _scatter_windows(n_pad, nd, dt, dz_ref)
 
 
 def _fwd_call_ds(mode, z, ns, nd, rel_ids, rel_emb):
     block = BLOCK
-    num_chunks, chunks8, n_pad, zb, lo_blocks, tiles = _prep(
-        z, ns, rel_ids, block)
+    num_chunks, chunks8, n_pad, zb, tiles = _prep(z, ns, rel_ids, block)
     d = z.shape[1]
     r = rel_emb.shape[0]
-    tile_spec = pl.BlockSpec((8, block), lambda c, lo: (c // 8, 0),
+    tile_spec = pl.BlockSpec((8, block), lambda c: (c // 8, 0),
                              memory_space=pltpu.VMEM)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel_ds, mode, n_pad),
         grid=(num_chunks,),
         in_specs=[
             tile_spec, tile_spec, tile_spec,
             pl.BlockSpec(memory_space=pltpu.VMEM),   # z (full, bf16)
             pl.BlockSpec(memory_space=pltpu.VMEM),   # rel_emb
         ],
-        out_specs=pl.BlockSpec((8, block), lambda c, lo: (c // 8, 0),
+        out_specs=pl.BlockSpec((8, block), lambda c: (c // 8, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((block, d), jnp.bfloat16),
                         pltpu.VMEM((block, d), jnp.bfloat16)],
-    )
-    out = pl.pallas_call(
-        functools.partial(_fwd_kernel_ds, mode, n_pad),
-        grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((chunks8, block), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=2 * ns.shape[0] * (2 * WINDOW + r) * d,
             bytes_accessed=n_pad * d * 2,
             transcendentals=0,
         ),
-    )(lo_blocks, tiles(ns.astype(jnp.int32), -1),
+    )(tiles(ns.astype(jnp.int32), -1),
       tiles(rel_ids.astype(jnp.int32), 0),
       tiles(jnp.clip(nd, 0, n_pad - 1).astype(jnp.int32), 0),
       zb, rel_emb.astype(jnp.bfloat16))
@@ -410,8 +386,7 @@ def _fwd_call_ds(mode, z, ns, nd, rel_ids, rel_emb):
 
 def _bwd_call_ds(mode, z, ns, nd, rel_ids, rel_emb, ds):
     block = BLOCK
-    num_chunks, chunks8, n_pad, zb, lo_blocks, tiles = _prep(
-        z, ns, rel_ids, block)
+    num_chunks, chunks8, n_pad, zb, tiles = _prep(z, ns, rel_ids, block)
     d = z.shape[1]
     r, dr = rel_emb.shape
     if mode == "rotate":
@@ -420,10 +395,10 @@ def _bwd_call_ds(mode, z, ns, nd, rel_ids, rel_emb, ds):
     re = rel_emb.astype(jnp.bfloat16)
     if r_pad != r:
         re = jnp.pad(re, ((0, r_pad - r), (0, 0)))
-    tile_spec = pl.BlockSpec((8, block), lambda c, lo: (c // 8, 0),
+    tile_spec = pl.BlockSpec((8, block), lambda c: (c // 8, 0),
                              memory_space=pltpu.VMEM)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+    dz, dre = pl.pallas_call(
+        functools.partial(_bwd_kernel_ds, mode, n_pad),
         grid=(num_chunks,),
         in_specs=[
             tile_spec, tile_spec, tile_spec, tile_spec,
@@ -431,17 +406,13 @@ def _bwd_call_ds(mode, z, ns, nd, rel_ids, rel_emb, ds):
             pl.BlockSpec(memory_space=pltpu.VMEM),   # rel_emb
         ],
         out_specs=[
-            pl.BlockSpec((n_pad, d), lambda c, lo: (0, 0),
+            pl.BlockSpec((n_pad, d), lambda c: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((r_pad, dr), lambda c, lo: (0, 0),
+            pl.BlockSpec((r_pad, dr), lambda c: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[pltpu.VMEM((block, d), jnp.bfloat16),
                         pltpu.VMEM((block, d), jnp.bfloat16)],
-    )
-    dz, dre = pl.pallas_call(
-        functools.partial(_bwd_kernel_ds, mode, n_pad),
-        grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((n_pad, d), jnp.float32),
             jax.ShapeDtypeStruct((r_pad, dr), jnp.float32),
@@ -451,7 +422,7 @@ def _bwd_call_ds(mode, z, ns, nd, rel_ids, rel_emb, ds):
             bytes_accessed=n_pad * d * 6,
             transcendentals=0,
         ),
-    )(lo_blocks, tiles(ns.astype(jnp.int32), -1),
+    )(tiles(ns.astype(jnp.int32), -1),
       tiles(rel_ids.astype(jnp.int32), 0),
       tiles(jnp.clip(nd, 0, n_pad - 1).astype(jnp.int32), 0),
       tiles(ds.astype(jnp.float32), 0), zb, re)
@@ -462,7 +433,7 @@ DENSE_DST_SUB = 512      # dst one-hot sub-block rows
 DENSE_DST_MAX = 2048     # use the dense dst path when n_pad ≤ this
 
 
-def _bwd_kernel_dense(mode, n_pad, lo_ref, ids_ref, rel_ref, nd_ref, t_ref,
+def _bwd_kernel_dense(mode, n_pad, ids_ref, rel_ref, nd_ref, t_ref,
                       ds_ref, z_ref, re_ref, dz_ref, dre_ref, h_ref):
     """Backward with the dst-side scatter fused in: dz accumulates BOTH
     the windowed src contribution and a dense one-hot dst contribution
@@ -477,7 +448,7 @@ def _bwd_kernel_dense(mode, n_pad, lo_ref, ids_ref, rel_ref, nd_ref, t_ref,
         dre_ref[:] = jnp.zeros_like(dre_ref)
 
     ids = ids_ref[c % 8, :]
-    _gather_h(n_pad, lo_ref[c], ids, z_ref, h_ref, t_ref.dtype)
+    _gather_h(n_pad, ids, z_ref, h_ref, t_ref.dtype)
     h = h_ref[:]
     rel = rel_ref[c % 8, :]
     ohr, r_rows = _slot_rel(re_ref, rel, t_ref.dtype)
@@ -485,16 +456,7 @@ def _bwd_kernel_dense(mode, n_pad, lo_ref, ids_ref, rel_ref, nd_ref, t_ref,
     t = t_ref[:]
     dh, dt, dre_up = _chunk_grads(mode, h, t, r_rows, ohr, ds_col)
     dre_ref[:] += dre_up
-
-    def body(base, in_win):                          # dz_src windows
-        rows = jax.lax.broadcasted_iota(
-            jnp.int32, (WINDOW, ids.shape[0]), 0) + base
-        oh = ((rows == ids[None, :]) & in_win[None, :]).astype(t.dtype)
-        dz_ref[pl.ds(base, WINDOW), :] += jax.lax.dot_general(
-            oh, dh, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-
-    _window_accumulate(n_pad, lo_ref[c] * ALIGN, ids, body)
+    _scatter_windows(n_pad, ids, dh, dz_ref)
 
     nd = nd_ref[c % 8, :]
     for sub in range(n_pad // DENSE_DST_SUB):
@@ -518,8 +480,6 @@ def _prep(z, ns, rel_ids, block):
     zb = z.astype(jnp.bfloat16)
     if n_pad != z.shape[0]:
         zb = jnp.pad(zb, ((0, n_pad - z.shape[0]), (0, 0)))
-    first = jnp.maximum(ns[::block], 0)
-    lo_blocks = first // ALIGN
 
     def tiles(v, fill):
         t2 = v.reshape(num_chunks, block)
@@ -528,42 +488,36 @@ def _prep(z, ns, rel_ids, block):
                          constant_values=fill)
         return t2
 
-    return num_chunks, chunks8, n_pad, zb, lo_blocks, tiles
+    return num_chunks, chunks8, n_pad, zb, tiles
 
 
 def _fwd_call(mode, z, ns, t_rows, rel_ids, rel_emb):
     block = BLOCK
-    num_chunks, chunks8, n_pad, zb, lo_blocks, tiles = _prep(
-        z, ns, rel_ids, block)
+    num_chunks, chunks8, n_pad, zb, tiles = _prep(z, ns, rel_ids, block)
     d = z.shape[1]
     r = rel_emb.shape[0]
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+    tile_spec = pl.BlockSpec((8, block), lambda c: (c // 8, 0),
+                             memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel, mode, n_pad),
         grid=(num_chunks,),
         in_specs=[
-            pl.BlockSpec((8, block), lambda c, lo: (c // 8, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, block), lambda c, lo: (c // 8, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((block, d), lambda c, lo: (c, 0),
+            tile_spec, tile_spec,
+            pl.BlockSpec((block, d), lambda c: (c, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),   # z (full, bf16)
             pl.BlockSpec(memory_space=pltpu.VMEM),   # rel_emb
         ],
-        out_specs=pl.BlockSpec((8, block), lambda c, lo: (c // 8, 0),
+        out_specs=pl.BlockSpec((8, block), lambda c: (c // 8, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((block, d), jnp.bfloat16)],
-    )
-    out = pl.pallas_call(
-        functools.partial(_fwd_kernel, mode, n_pad),
-        grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((chunks8, block), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=2 * ns.shape[0] * (WINDOW + r) * d,
             bytes_accessed=t_rows.size * 2 + n_pad * d * 2,
             transcendentals=0,  # [cos|sin] table hoisted out of the kernel
         ),
-    )(lo_blocks, tiles(ns.astype(jnp.int32), -1),
+    )(tiles(ns.astype(jnp.int32), -1),
       tiles(rel_ids.astype(jnp.int32), 0), t_rows.astype(jnp.bfloat16),
       zb, rel_emb.astype(jnp.bfloat16))
     return out.reshape(-1)[:ns.shape[0]]
@@ -573,8 +527,7 @@ def _bwd_call(mode, z, ns, t_rows, rel_ids, rel_emb, ds, nd=None):
     """Returns (dz_src, dre, dt) in streamed mode (nd None) or
     (dz_src_and_dst, dre, None) in dense-dst mode (small envelopes)."""
     block = BLOCK
-    num_chunks, chunks8, n_pad, zb, lo_blocks, tiles = _prep(
-        z, ns, rel_ids, block)
+    num_chunks, chunks8, n_pad, zb, tiles = _prep(z, ns, rel_ids, block)
     d = z.shape[1]
     r, dr = rel_emb.shape
     if mode == "rotate":
@@ -583,31 +536,27 @@ def _bwd_call(mode, z, ns, t_rows, rel_ids, rel_emb, ds, nd=None):
     re = rel_emb.astype(jnp.bfloat16)
     if r_pad != r:
         re = jnp.pad(re, ((0, r_pad - r), (0, 0)))
+    tile_spec = pl.BlockSpec((8, block), lambda c: (c // 8, 0),
+                             memory_space=pltpu.VMEM)
     if nd is not None:
-        tile_spec = pl.BlockSpec((8, block), lambda c, lo: (c // 8, 0),
-                                 memory_space=pltpu.VMEM)
-        grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+        dz, dre = pl.pallas_call(
+            functools.partial(_bwd_kernel_dense, mode, n_pad),
             grid=(num_chunks,),
             in_specs=[
                 tile_spec, tile_spec, tile_spec,
-                pl.BlockSpec((block, d), lambda c, lo: (c, 0),
+                pl.BlockSpec((block, d), lambda c: (c, 0),
                              memory_space=pltpu.VMEM),
                 tile_spec,
                 pl.BlockSpec(memory_space=pltpu.VMEM),   # z
                 pl.BlockSpec(memory_space=pltpu.VMEM),   # rel_emb
             ],
             out_specs=[
-                pl.BlockSpec((n_pad, d), lambda c, lo: (0, 0),
+                pl.BlockSpec((n_pad, d), lambda c: (0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((r_pad, dr), lambda c, lo: (0, 0),
+                pl.BlockSpec((r_pad, dr), lambda c: (0, 0),
                              memory_space=pltpu.VMEM),
             ],
             scratch_shapes=[pltpu.VMEM((block, d), jnp.bfloat16)],
-        )
-        dz, dre = pl.pallas_call(
-            functools.partial(_bwd_kernel_dense, mode, n_pad),
-            grid_spec=grid_spec,
             out_shape=[
                 jax.ShapeDtypeStruct((n_pad, d), jnp.float32),
                 jax.ShapeDtypeStruct((r_pad, dr), jnp.float32),
@@ -617,7 +566,7 @@ def _bwd_call(mode, z, ns, t_rows, rel_ids, rel_emb, ds, nd=None):
                 bytes_accessed=t_rows.size * 2 + n_pad * d * 6,
                 transcendentals=0,  # hoisted [cos|sin] table
             ),
-        )(lo_blocks, tiles(ns.astype(jnp.int32), -1),
+        )(tiles(ns.astype(jnp.int32), -1),
           tiles(rel_ids.astype(jnp.int32), 0),
           # nd one-hot pads target row n_pad-1 — harmless: dt rows for
           # pads are zero because ds pads are zero
@@ -625,34 +574,26 @@ def _bwd_call(mode, z, ns, t_rows, rel_ids, rel_emb, ds, nd=None):
           t_rows.astype(jnp.bfloat16),
           tiles(ds.astype(jnp.float32), 0), zb, re)
         return dz[:z.shape[0]], dre[:r], None
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+    dz, dre, dt = pl.pallas_call(
+        functools.partial(_bwd_kernel, mode, n_pad),
         grid=(num_chunks,),
         in_specs=[
-            pl.BlockSpec((8, block), lambda c, lo: (c // 8, 0),
+            tile_spec, tile_spec,
+            pl.BlockSpec((block, d), lambda c: (c, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, block), lambda c, lo: (c // 8, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((block, d), lambda c, lo: (c, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, block), lambda c, lo: (c // 8, 0),
-                         memory_space=pltpu.VMEM),
+            tile_spec,
             pl.BlockSpec(memory_space=pltpu.VMEM),   # z
             pl.BlockSpec(memory_space=pltpu.VMEM),   # rel_emb
         ],
         out_specs=[
-            pl.BlockSpec((n_pad, d), lambda c, lo: (0, 0),
+            pl.BlockSpec((n_pad, d), lambda c: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((r_pad, dr), lambda c, lo: (0, 0),
+            pl.BlockSpec((r_pad, dr), lambda c: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((block, d), lambda c, lo: (c, 0),
+            pl.BlockSpec((block, d), lambda c: (c, 0),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[pltpu.VMEM((block, d), jnp.bfloat16)],
-    )
-    dz, dre, dt = pl.pallas_call(
-        functools.partial(_bwd_kernel, mode, n_pad),
-        grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((n_pad, d), jnp.float32),
             jax.ShapeDtypeStruct((r_pad, dr), jnp.float32),
@@ -663,7 +604,7 @@ def _bwd_call(mode, z, ns, t_rows, rel_ids, rel_emb, ds, nd=None):
             bytes_accessed=t_rows.size * 4 + n_pad * d * 6,
             transcendentals=0,  # hoisted [cos|sin] table
         ),
-    )(lo_blocks, tiles(ns.astype(jnp.int32), -1),
+    )(tiles(ns.astype(jnp.int32), -1),
       tiles(rel_ids.astype(jnp.int32), 0), t_rows.astype(jnp.bfloat16),
       tiles(ds.astype(jnp.float32), 0), zb, re)
     return dz[:z.shape[0]], dre[:r], dt
