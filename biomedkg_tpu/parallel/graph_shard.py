@@ -114,6 +114,10 @@ class HaloPlan(NamedTuple):
     send_idx: np.ndarray   # (P, P, H) int32
     src_remap: np.ndarray  # (P, E_p) int32
     halo: int
+    # (P, P) REAL rows p ships to q (before padding to H) — diagnostics
+    # only (comm-volume/balance artifacts; the exchange itself always
+    # ships the padded (P, H, D) block)
+    send_counts: np.ndarray = None
 
 
 def build_halo_plan(sharded: "ShardedGraph", shard_n: int) -> HaloPlan:
@@ -127,6 +131,9 @@ def build_halo_plan(sharded: "ShardedGraph", shard_n: int) -> HaloPlan:
             if p != q:
                 need[(p, q)] = np.unique(src[owner == p])
     halo = max([1] + [len(v) for v in need.values()])
+    counts = np.zeros((p_sh, p_sh), np.int32)
+    for (p, q), v in need.items():
+        counts[p, q] = len(v)
     send_idx = np.zeros((p_sh, p_sh, halo), np.int32)
     remaps = []
     for q in range(p_sh):
@@ -142,7 +149,7 @@ def build_halo_plan(sharded: "ShardedGraph", shard_n: int) -> HaloPlan:
             remap[sel] = (shard_n + p * halo
                           + np.searchsorted(uniq, src[sel]))
         remaps.append(remap.astype(np.int32))
-    return HaloPlan(send_idx, np.stack(remaps), halo)
+    return HaloPlan(send_idx, np.stack(remaps), halo, counts)
 
 
 def _exchange(x, axis, halo):
