@@ -28,6 +28,86 @@ PRIMEKG_RELATIONS = [
 
 DPI_RELATION = [("drug_protein_interaction", "drug", "gene/protein", 1.0)]
 
+# The UNFILTERED PrimeKG++ schema: all 10 node types and the full ~30
+# relation-signature vocabulary (the reference trains only the filtered
+# gene/drug/disease subgraph, configs/data/primekg.yaml:5 — this is the
+# scale-past-it stress surface, VERDICT round-3 item #4). Shares
+# approximate the real edge-count distribution (anatomy_protein_present
+# dominates, then protein_protein / GO-annotation relations).
+PRIMEKG_FULL_NODE_SIZES = {
+    "gene/protein": 27000, "drug": 8000, "disease": 17000,
+    "effect/phenotype": 15000, "anatomy": 14000,
+    "biological_process": 28000, "molecular_function": 11000,
+    "cellular_component": 4000, "pathway": 2500, "exposure": 900,
+}
+
+PRIMEKG_FULL_RELATIONS = [
+    ("anatomy_protein_present", "anatomy", "gene/protein", 0.380),
+    ("protein_protein", "gene/protein", "gene/protein", 0.160),
+    ("disease_phenotype_positive", "disease", "effect/phenotype", 0.075),
+    ("bioprocess_protein", "biological_process", "gene/protein", 0.070),
+    ("cellcomp_protein", "cellular_component", "gene/protein", 0.040),
+    ("disease_protein", "disease", "gene/protein", 0.040),
+    ("molfunc_protein", "molecular_function", "gene/protein", 0.035),
+    ("drug_effect", "drug", "effect/phenotype", 0.032),
+    ("bioprocess_bioprocess", "biological_process",
+     "biological_process", 0.026),
+    ("pathway_protein", "pathway", "gene/protein", 0.021),
+    ("disease_disease", "disease", "disease", 0.016),
+    ("drug_drug", "drug", "drug", 0.650 * 0.04),
+    ("phenotype_protein", "effect/phenotype", "gene/protein", 0.012),
+    ("anatomy_protein_absent", "anatomy", "gene/protein", 0.010),
+    ("drug_protein", "drug", "gene/protein", 0.0125),
+    ("anatomy_anatomy", "anatomy", "anatomy", 0.0070),
+    ("molfunc_molfunc", "molecular_function", "molecular_function", 0.0067),
+    ("phenotype_phenotype", "effect/phenotype", "effect/phenotype", 0.0055),
+    ("contraindication", "drug", "disease", 0.0053),
+    ("cellcomp_cellcomp", "cellular_component", "cellular_component",
+     0.0023),
+    ("indication", "drug", "disease", 0.0045),
+    ("pathway_pathway", "pathway", "pathway", 0.0013),
+    ("exposure_disease", "exposure", "disease", 0.0010),
+    ("off-label use", "drug", "disease", 0.0007),
+    ("exposure_protein", "exposure", "gene/protein", 0.0005),
+    ("disease_phenotype_negative", "disease", "effect/phenotype", 0.0004),
+    ("exposure_bioprocess", "exposure", "biological_process", 0.0004),
+    ("exposure_exposure", "exposure", "exposure", 0.0002),
+    ("exposure_molfunc", "exposure", "molecular_function", 0.0001),
+    ("exposure_cellcomp", "exposure", "cellular_component", 0.0001),
+]
+
+
+def synthetic_primekg_full(num_edges: int = 4_000_000, seed: int = 0,
+                           node_sizes=None) -> pd.DataFrame:
+    """Full-scale unfiltered PrimeKG++-shaped triplets (~127k nodes,
+    ``num_edges`` edges, 10 node types, 30 relation signatures)."""
+    sizes = dict(node_sizes or PRIMEKG_FULL_NODE_SIZES)
+    return synthetic_triplets_from_schema(sizes, PRIMEKG_FULL_RELATIONS,
+                                          num_edges=num_edges, seed=seed)
+
+
+def synthetic_triplets_from_schema(sizes, relations, num_edges, seed=0
+                                   ) -> pd.DataFrame:
+    """Schema-driven generator shared by the filtered and full variants."""
+    rng = np.random.default_rng(seed)
+    names = {t: np.array([f"{t.split('/')[0][:4]}_{i:06d}"
+                          for i in range(n)]) for t, n in sizes.items()}
+    shares = np.array([r[3] for r in relations], dtype=np.float64)
+    shares /= shares.sum()
+    rows = []
+    for (rel, xt, yt, _), share in zip(relations, shares):
+        m = max(1, int(num_edges * share))
+        src = _power_law_targets(rng, sizes[xt], m)
+        dst = _power_law_targets(rng, sizes[yt], m)
+        rows.append(pd.DataFrame({
+            "x_type": xt, "x_name": names[xt][src],
+            "relation": rel,
+            "y_type": yt, "y_name": names[yt][dst],
+        }))
+    df = pd.concat(rows, ignore_index=True)
+    return df.drop_duplicates(
+        subset=["x_name", "relation", "y_name"]).reset_index(drop=True)
+
 
 def _power_law_targets(rng, n, size, alpha=0.8):
     """Sample node ids with a heavy-tailed preference (hub structure)."""

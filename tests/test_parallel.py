@@ -288,3 +288,52 @@ def test_halo_plan_invariants(graph):
         got = x_aug[plan.src_remap[q]]
         want = x.reshape(-1)[sharded.edge_index[q][0]]
         np.testing.assert_array_equal(got, want)
+
+
+def test_balanced_partition_matches_and_balances(graph):
+    """balance=True (degree-aware LPT relabeling) must (a) reproduce the
+    single-device forward after un-permuting via node_order, (b) strictly
+    reduce the per-device real-edge imbalance vs the contiguous
+    partition, and (c) still interoperate with the halo plan."""
+    from biomedkg_tpu.parallel.graph_shard import build_halo_plan
+
+    tg = graph
+    enc = RGCN(in_dim=DIM, hidden_dim=DIM, out_dim=DIM,
+               num_hidden_layers=1, num_relations=tg.num_edge_types,
+               drop_out=False)
+    params = enc.init(jax.random.PRNGKey(0))
+    batch = FullGraphLoader(tg.graph, block_size=64).batch()
+    ref = np.asarray(enc.apply(params, batch.x, batch.edge_index,
+                               batch.edge_type, batch.edge_mask,
+                               batch.block_rel, training=False))
+    mesh = make_mesh(dp=8, tp=1)
+
+    plain = partition_graph(batch, num_shards=8,
+                            num_relations=tg.num_edge_types, block_size=64)
+    bal = partition_graph(batch, num_shards=8,
+                          num_relations=tg.num_edge_types, block_size=64,
+                          balance=True)
+
+    def spread(sh):
+        e = [int(m.sum()) for m in sh.edge_mask]
+        return max(e) - min(e)
+
+    assert spread(bal) < spread(plain), (spread(bal), spread(plain))
+    # every original node appears exactly once in the relabeling
+    assert np.array_equal(np.sort(bal.node_order),
+                          np.arange(batch.x.shape[0]))
+    # pad row stays the global last slot
+    assert bal.node_order[-1] == batch.x.shape[0] - 1
+
+    z = np.asarray(sharded_rgcn_encode(enc, params, bal, mesh))
+    z_orig = np.empty_like(z)
+    z_orig[bal.node_order] = z
+    real = batch.node_mask.astype(bool)
+    np.testing.assert_allclose(z_orig[real], ref[real],
+                               rtol=1e-4, atol=1e-4)
+
+    # halo plan built on the balanced partition still reproduces it
+    plan = build_halo_plan(bal, bal.x.shape[1])
+    z_h = np.asarray(sharded_rgcn_encode(enc, params, bal, mesh,
+                                         halo_plan=plan))
+    np.testing.assert_allclose(z_h, z, rtol=1e-5, atol=1e-5)
