@@ -63,9 +63,11 @@ def _lin(g, dout, din):
 
 
 def make_kge_ckpt(path, in_dim=8, hidden_dim=8, out_dim=8,
-                  num_hidden_layers=0, num_relation=3, seed=0):
-    """RGCN + DistMult KGEModule checkpoint (reference kge_module.py:19-75,
-    PyG RGCNConv params weight/root/bias)."""
+                  num_hidden_layers=0, num_relation=3, seed=0,
+                  decoder="dismult", fuse_method=None):
+    """RGCN + decoder KGEModule checkpoint (reference kge_module.py:19-75,
+    PyG RGCNConv params weight/root/bias; optional AttentionFusion/ReDAF
+    modality_transform per reference utils/fusion.py)."""
     install_fake_lightning()
     AttributeDict = sys.modules[
         "lightning.pytorch.utilities.parsing"].AttributeDict
@@ -82,15 +84,70 @@ def make_kge_ckpt(path, in_dim=8, hidden_dim=8, out_dim=8,
         sd[p + ".bias"] = torch.randn(dout, generator=g) * 0.05
     sd["model.decoder.rel_emb"] = torch.randn(num_relation, out_dim,
                                               generator=g) * 0.2
+    if decoder == "complex":
+        sd["model.decoder.rel_emb_imag"] = torch.randn(
+            num_relation, out_dim, generator=g) * 0.2
+    if fuse_method == "attention":
+        for name in ("q_proj", "k_proj", "v_proj"):
+            w, b = _lin(g, in_dim, in_dim)
+            sd[f"modality_transform.{name}.weight"] = w
+            sd[f"modality_transform.{name}.bias"] = b
+    elif fuse_method == "redaf":
+        sd["modality_transform.modal_weights"] = torch.ones(2, 1, in_dim)
+        sd["modality_transform.sub_type_embeddings.weight"] = \
+            torch.randn(2, in_dim, generator=g) * 0.2
+        for name in ("transform_layer", "relational_context_layer"):
+            w, b = _lin(g, in_dim, in_dim)
+            sd[f"modality_transform.{name}.weight"] = w
+            sd[f"modality_transform.{name}.bias"] = b
     hp = AttributeDict(
-        encoder_name="rgcn", decoder_name="dismult", in_dim=in_dim,
+        encoder_name="rgcn", decoder_name=decoder, in_dim=in_dim,
         hidden_dim=hidden_dim, out_dim=out_dim,
         num_hidden_layers=num_hidden_layers, num_relation=num_relation,
         num_heads=1, scheduler_type="cosine", learning_rate=1e-3,
-        warm_up_ratio=0.2, fuse_method=None, neg_ratio=10,
-        node_init_method="random")
+        warm_up_ratio=0.2, fuse_method=fuse_method, neg_ratio=10,
+        node_init_method="lm" if fuse_method else "random")
     torch.save({"state_dict": sd, "hyper_parameters": hp,
                 "global_step": 123, "epoch": 4,
+                "pytorch-lightning_version": "2.2.0"}, path)
+    return path
+
+
+def make_gcl_ckpt(path, model_name, in_dim=8, hidden_dim=8, out_dim=8,
+                  num_hidden_layers=0, n_proj=1, seed=2):
+    """DGI (``model.project``) or GGD (``model.mlp.{i}``) checkpoint
+    (reference model/gcl.py:8-27,55-94)."""
+    install_fake_lightning()
+    AttributeDict = sys.modules[
+        "lightning.pytorch.utilities.parsing"].AttributeDict
+    g = torch.Generator().manual_seed(seed)
+    dims = [(in_dim, hidden_dim)]
+    dims += [(hidden_dim, hidden_dim)] * num_hidden_layers
+    dims += [(hidden_dim, out_dim)]
+    sd = {}
+    for i, (din, dout) in enumerate(dims):
+        p = f"model.encoder.graph_layers.{i}"
+        w, b = _lin(g, dout, din)
+        sd[p + ".lin.weight"] = w
+        sd[p + ".bias"] = b
+    if model_name == "dgi":
+        # reference DGI: Linear(hidden, hidden), PyG-uniform weight
+        w, b = _lin(g, hidden_dim, hidden_dim)
+        sd["model.project.weight"] = w
+        sd["model.project.bias"] = b
+    elif model_name == "ggd":
+        for i in range(n_proj):
+            w, b = _lin(g, hidden_dim, hidden_dim)
+            sd[f"model.mlp.{i}.weight"] = w
+            sd[f"model.mlp.{i}.bias"] = b
+    else:
+        raise ValueError(model_name)
+    hp = AttributeDict(
+        in_dim=in_dim, hidden_dim=hidden_dim, out_dim=out_dim,
+        num_hidden_layers=num_hidden_layers, scheduler_type="cosine",
+        learning_rate=2e-4, warm_up_ratio=0.03, fuse_method=None)
+    torch.save({"state_dict": sd, "hyper_parameters": hp,
+                "global_step": 9, "epoch": 1,
                 "pytorch-lightning_version": "2.2.0"}, path)
     return path
 

@@ -15,6 +15,7 @@ from __future__ import annotations
 import os
 import sys
 
+import jax
 import numpy as np
 import pytest
 
@@ -165,3 +166,97 @@ def test_unrecognized_torch_zip_errors(tmp_path):
                 "hyper_parameters": {}}, p2)
     with pytest.raises(ValueError, match="unrecognized"):
         load_checkpoint(p2)
+
+
+def test_dgi_and_ggd_fixtures_import(tmp_path):
+    from gen_torch_ckpt import make_gcl_ckpt
+
+    from biomedkg_tpu.training.gcl_module import load_gcl_module
+
+    p = make_gcl_ckpt(str(tmp_path / "dgi.ckpt"), "dgi", hidden_dim=8)
+    remove_fake_lightning()
+    module, params = load_gcl_module(p)
+    assert module.hparams["hidden_dim"] == 8
+    assert params["model"]["project"]["w"].shape == (8, 8)
+
+    p2 = make_gcl_ckpt(str(tmp_path / "ggd.ckpt"), "ggd", n_proj=2)
+    remove_fake_lightning()
+    module2, params2 = load_gcl_module(p2)
+    assert len(params2["model"]["mlp"]) == 2
+    # projector output parity with the raw torch weights
+    import torch
+
+    from biomedkg_tpu.interop.torch_ckpt import _load_torch_file
+
+    sd = _load_torch_file(p2)["state_dict"]
+    z = np.random.default_rng(1).standard_normal((6, 8)).astype(np.float32)
+    h = torch.relu(torch.from_numpy(z) @ sd["model.mlp.0.weight"].T
+                   + sd["model.mlp.0.bias"])
+    want = (h @ sd["model.mlp.1.weight"].T + sd["model.mlp.1.bias"]).numpy()
+    import jax.numpy as jnp
+
+    from biomedkg_tpu import nn as bnn
+
+    got = np.asarray(bnn.linear_apply(
+        params2["model"]["mlp"][1],
+        jax.nn.relu(bnn.linear_apply(params2["model"]["mlp"][0],
+                                     jnp.asarray(z)))))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_kge_fusion_and_complex_import(tmp_path):
+    import torch
+    import torch.nn.functional as F
+
+    from biomedkg_tpu.interop.torch_ckpt import _load_torch_file
+    from biomedkg_tpu.training.kge_module import load_kge_module
+
+    p = make_kge_ckpt(str(tmp_path / "fuse.ckpt"), fuse_method="attention",
+                      decoder="complex", out_dim=8, seed=3)
+    remove_fake_lightning()
+    module, params = load_kge_module(p)
+    assert module.hparams["fuse_method"] == "attention"
+    assert module.hparams["node_init_method"] == "lm"
+    assert module.modality_transform is not None
+    assert "fusion" in params
+
+    # AttentionFusion output parity on a (N, M, d) modality stack
+    sd = _load_torch_file(p)["state_dict"]
+    x = np.random.default_rng(2).standard_normal((5, 2, 8)) \
+        .astype(np.float32)
+    xt = torch.from_numpy(x)
+    q = xt @ sd["modality_transform.q_proj.weight"].T \
+        + sd["modality_transform.q_proj.bias"]
+    k = xt @ sd["modality_transform.k_proj.weight"].T \
+        + sd["modality_transform.k_proj.bias"]
+    v = xt @ sd["modality_transform.v_proj.weight"].T \
+        + sd["modality_transform.v_proj.bias"]
+    want = F.scaled_dot_product_attention(q, k, v).mean(dim=1).numpy()
+    got = np.asarray(module.fusion_fn(params, x, training=False))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+    # ComplEx half-width repack: [real[:, :h] | imag[:, :h]]
+    rel = sd["model.decoder.rel_emb"].numpy()
+    imag = sd["model.decoder.rel_emb_imag"].numpy()
+    want_rel = np.concatenate([rel[:, :4], imag[:, :4]], axis=1)
+    np.testing.assert_allclose(params["model"]["decoder"]["rel_emb"],
+                               want_rel)
+
+
+def test_redaf_fusion_import(tmp_path):
+    from biomedkg_tpu.training.kge_module import load_kge_module
+
+    p = make_kge_ckpt(str(tmp_path / "redaf.ckpt"), fuse_method="redaf",
+                      seed=5)
+    remove_fake_lightning()
+    module, params = load_kge_module(p)
+    assert module.hparams["fuse_method"] == "redaf"
+    f = params["fusion"]
+    assert f["modal_weights"].shape == (2, 1, 8)
+    assert f["sub_type_emb"]["table"].shape == (2, 8)
+    assert f["transform"]["w"].shape == (8, 8)
+    assert f["rel_context"]["w"].shape == (8, 8)
+    # the module applies it without shape errors
+    x = np.zeros((4, 2, 8), np.float32)
+    out = np.asarray(module.fusion_fn(params, x, training=False))
+    assert out.shape == (4, 8) and np.isfinite(out).all()
