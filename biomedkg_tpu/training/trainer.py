@@ -72,6 +72,12 @@ class Trainer:
         self.checkpoint_backend = checkpoint_backend
         self.async_checkpointing = async_checkpointing
         self.default_root_dir = default_root_dir
+        # Lightning `devices` semantics (reference train_kge.py passes
+        # cfg.devices straight through): int = that many devices, list =
+        # those device ids, "auto" = all local devices. >1 engages the
+        # shard_map data-parallel step (parallel/dp.py) — one batch per
+        # device per optimizer step, pmean'd grads (the DDP analog).
+        self.devices = devices
         self._saver = AsyncSaver()
         self._in_fit = False
         self.current_epoch = 0
@@ -141,14 +147,53 @@ class Trainer:
         finally:
             self._in_fit = False
 
+    def _resolve_dp(self) -> int:
+        """Number of data-parallel devices from the Lightning-style
+        ``devices`` argument, clamped to what the platform offers."""
+        d = self.devices
+        if d is None:
+            return 1
+        if isinstance(d, str):
+            want = len(jax.devices()) if d == "auto" else int(d)
+        elif isinstance(d, (list, tuple)):
+            want = len(d)
+        else:
+            want = int(d)
+        have = len(jax.devices())
+        if want > have:
+            import warnings
+
+            warnings.warn(f"devices={d!r} requests {want} devices but "
+                          f"only {have} exist — clamping", stacklevel=2)
+        return max(1, min(want, have))
+
     def _fit(self, model, train_dataloaders, val_dataloaders=None,
              init_params=None, resume_from: Optional[str] = None):
         self.module = model
         epochs = 1 if self.fast_dev_run else self.max_epochs
+        dp = 1 if self.fast_dev_run else self._resolve_dp()
+        if dp > 1 and self.steps_per_execution > 1:
+            import warnings
+
+            warnings.warn(
+                "steps_per_execution > 1 and devices > 1 are mutually "
+                "exclusive grouping modes — data parallelism wins",
+                stacklevel=2)
+        # one optimizer step consumes dp batches (DDP semantics: grads
+        # pmean'd across the group), so the scheduler horizon shrinks
         steps_per_epoch = (1 if self.fast_dev_run
+                           else len(train_dataloaders) // dp if dp > 1
                            else len(train_dataloaders))
         model.configure_optimizers(steps_per_epoch * epochs,
                                    grad_clip=self.gradient_clip_val)
+        dp_step = None
+        if dp > 1:
+            from ..parallel.dp import make_dp_train_step
+            from ..parallel.mesh import make_mesh
+
+            dp_step = make_dp_train_step(
+                model, make_mesh(dp=dp, tp=1,
+                                 devices=jax.devices()[:dp]))
         # All training randomness derives from fold_in(root, counter):
         # train-step rng is keyed by global_step and val rng by epoch, so
         # resuming at any checkpoint reproduces the uninterrupted run's
@@ -227,36 +272,51 @@ class Trainer:
             n_batches = 0
             n_edges = 0
             last_loss = 0.0
-            k = 1 if self.fast_dev_run else self.steps_per_execution
+            k = 1 if self.fast_dev_run else \
+                (dp if dp > 1 else self.steps_per_execution)
             # resume fast-forward: the already-consumed prefix of the
             # epoch-keyed stream is skipped INSIDE the stream, before
             # stacking/device_put (batch-exact for any k; skipping
             # device-resident groups both over-skipped when k changed
-            # across the restart and paid H2D for every dropped batch)
+            # across the restart and paid H2D for every dropped batch).
+            # global_step counts OPTIMIZER steps, so a dp resume skips
+            # dp batches per recorded step.
             skip = skip_steps if epoch == start_epoch else 0
+            if dp > 1:
+                skip *= dp
             for kind, batch, steps, edges in prefetch(
-                    self._train_stream(train_dataloaders, k, skip)):
+                    self._train_stream(train_dataloaders, k, skip,
+                                       drop_last=dp > 1)):
                 step_rng = jax.random.fold_in(train_root, self.global_step)
-                if kind == "group":
+                if dp_step is not None:
+                    # one pmean'd optimizer step over dp per-device batches
+                    self.state, dp_loss = dp_step(
+                        self.state, batch, jax.random.split(step_rng, dp))
+                    logs = {"train_loss": dp_loss}
+                    opt_steps = 1
+                elif kind == "group":
                     self.state, logs = model.train_steps(self.state, batch,
                                                          step_rng)
+                    opt_steps = steps
                 else:
                     self.state, logs = model.train_step(self.state, batch,
                                                         step_rng)
+                    opt_steps = steps
                 last_loss = logs["train_loss"]
-                self.global_step += steps
+                self.global_step += opt_steps
                 n_batches += steps
                 n_edges += edges
                 if self.enable_checkpointing and \
                         self.checkpoint_every_n_steps and \
                         self.default_root_dir and \
                         self.global_step % self.checkpoint_every_n_steps \
-                        < steps:
+                        < opt_steps:
                     # async, latest-wins: the preemption-recovery anchor
                     self.save(os.path.join(self.default_root_dir,
                                            "step_last.ckpt"))
                 if self.logger and \
-                        self.global_step % self.log_every_n_steps < steps:
+                        self.global_step % self.log_every_n_steps \
+                        < opt_steps:
                     self.logger.log({"train_loss": float(last_loss)},
                                     self.global_step)
                 if self.fast_dev_run:
@@ -311,12 +371,15 @@ class Trainer:
         return self.state
 
     @staticmethod
-    def _train_stream(loader, k: int, skip: int = 0):
+    def _train_stream(loader, k: int, skip: int = 0,
+                      drop_last: bool = False):
         """Group batches into fused-execution units, stack + device_put in
         the prefetch worker so host packing and H2D transfers overlap the
         device's previous step. ``skip`` consumes that many batches from
         the loader first (resume fast-forward — they never get stacked or
-        transferred). Yields (kind, device_batch, steps, edges)."""
+        transferred). ``drop_last`` discards a tail smaller than one group
+        (data-parallel mode: every device must hold a batch).
+        Yields (kind, device_batch, steps, edges)."""
         import itertools
 
         import jax as _jax
@@ -338,8 +401,10 @@ class Trainer:
                 else:
                     yield ("single", _jax.device_put(pending[0]), 1, edges)
                 pending = []
-        for b in pending:  # leftovers smaller than one group
-            yield ("single", _jax.device_put(b), 1, int(np.sum(b.edge_mask)))
+        if not drop_last:
+            for b in pending:  # leftovers smaller than one group
+                yield ("single", _jax.device_put(b), 1,
+                       int(np.sum(b.edge_mask)))
 
     def _eval_loop(self, model, params, dataloader, split: str, rng):
         k = 1 if self.fast_dev_run else self.steps_per_execution
