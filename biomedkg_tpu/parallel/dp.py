@@ -82,6 +82,62 @@ def make_dp_train_step(module, mesh: Mesh):
     return step_fn
 
 
+def make_dp_train_steps_scan(module, mesh: Mesh, k: int):
+    """DP × fused-execution: ``k`` optimizer steps per dispatch, each
+    consuming one batch per dp device (batch leaves shaped (k, dp, ...)).
+
+    Composes the two latency levers: pmean'd data parallelism (the DDP
+    analog) AND the lax.scan step fusion that cut the single-chip
+    dispatch gap 1.5 → 0.29 ms/step (PERF.md k=32 trace) — on a pod the
+    per-dispatch RTT would otherwise be paid k times per device group.
+    """
+    tx = module.tx
+    assert tx is not None, "configure_optimizers first"
+
+    def per_device(params, opt_state, step, batches, rngs):
+        batches = jax.tree_util.tree_map(lambda x: x[:, 0], batches)
+        rngs = rngs[:, 0]
+
+        def body(carry, xs):
+            p, opt = carry
+            batch, rng = xs
+
+            def loss_fn(q):
+                return module._forward_loss(q, batch, rng, training=True)
+
+            (loss, _), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(p)
+            grads = jax.lax.pmean(grads, "dp")
+            updates, opt = tx.update(grads, opt, p)
+            p = optax.apply_updates(p, updates)
+            return (p, opt), loss
+
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state), (batches, rngs))
+        return (params, opt_state, step + k,
+                jax.lax.pmean(losses[-1], "dp"))
+
+    mapped = shard_map(
+        per_device, mesh,
+        in_specs=(P(), P(), P(), P(None, "dp"), P(None, "dp")),
+        out_specs=(P(), P(), P(), P()))
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step_fn(state: TrainState, batches: GraphBatch, rngs):
+        params, opt_state, step, loss = mapped(
+            state.params, state.opt_state, state.step, batches, rngs)
+        return TrainState(params, opt_state, step), loss
+
+    return step_fn
+
+
+def stack_batch_groups(groups: List[GraphBatch]) -> GraphBatch:
+    """Stack k already-dp-stacked groups along a new leading (k) axis."""
+    return GraphBatch(*[
+        np.stack([np.asarray(getattr(g, f)) for g in groups])
+        for f in GraphBatch._fields])
+
+
 def make_spmd_train_step(module, mesh: Mesh, param_shardings):
     """jit + GSPMD step: tp-sharded params, dp-stacked batches."""
     tx = module.tx

@@ -172,13 +172,6 @@ class Trainer:
         self.module = model
         epochs = 1 if self.fast_dev_run else self.max_epochs
         dp = 1 if self.fast_dev_run else self._resolve_dp()
-        if dp > 1 and self.steps_per_execution > 1:
-            import warnings
-
-            warnings.warn(
-                "steps_per_execution > 1 and devices > 1 are mutually "
-                "exclusive grouping modes — data parallelism wins",
-                stacklevel=2)
         # one optimizer step consumes dp batches (DDP semantics: grads
         # pmean'd across the group), so the scheduler horizon shrinks
         steps_per_epoch = (1 if self.fast_dev_run
@@ -187,13 +180,20 @@ class Trainer:
         model.configure_optimizers(steps_per_epoch * epochs,
                                    grad_clip=self.gradient_clip_val)
         dp_step = None
+        dp_scan_k = 1
         if dp > 1:
-            from ..parallel.dp import make_dp_train_step
+            from ..parallel.dp import (make_dp_train_step,
+                                       make_dp_train_steps_scan)
             from ..parallel.mesh import make_mesh
 
-            dp_step = make_dp_train_step(
-                model, make_mesh(dp=dp, tp=1,
-                                 devices=jax.devices()[:dp]))
+            mesh = make_mesh(dp=dp, tp=1, devices=jax.devices()[:dp])
+            if self.steps_per_execution > 1:
+                # DP × fused execution: k optimizer steps per dispatch,
+                # each over dp per-device batches
+                dp_scan_k = self.steps_per_execution
+                dp_step = make_dp_train_steps_scan(model, mesh, dp_scan_k)
+            else:
+                dp_step = make_dp_train_step(model, mesh)
         # All training randomness derives from fold_in(root, counter):
         # train-step rng is keyed by global_step and val rng by epoch, so
         # resuming at any checkpoint reproduces the uninterrupted run's
@@ -273,7 +273,7 @@ class Trainer:
             n_edges = 0
             last_loss = 0.0
             k = 1 if self.fast_dev_run else \
-                (dp if dp > 1 else self.steps_per_execution)
+                (dp * dp_scan_k if dp > 1 else self.steps_per_execution)
             # resume fast-forward: the already-consumed prefix of the
             # epoch-keyed stream is skipped INSIDE the stream, before
             # stacking/device_put (batch-exact for any k; skipping
@@ -286,14 +286,16 @@ class Trainer:
                 skip *= dp
             for kind, batch, steps, edges in prefetch(
                     self._train_stream(train_dataloaders, k, skip,
-                                       drop_last=dp > 1)):
+                                       drop_last=dp > 1, dp=dp)):
                 step_rng = jax.random.fold_in(train_root, self.global_step)
                 if dp_step is not None:
-                    # one pmean'd optimizer step over dp per-device batches
-                    self.state, dp_loss = dp_step(
-                        self.state, batch, jax.random.split(step_rng, dp))
+                    # pmean'd optimizer step(s) over dp per-device batches
+                    rngs = jax.random.split(step_rng, dp * dp_scan_k)
+                    if dp_scan_k > 1:
+                        rngs = rngs.reshape(dp_scan_k, dp, -1)
+                    self.state, dp_loss = dp_step(self.state, batch, rngs)
                     logs = {"train_loss": dp_loss}
-                    opt_steps = 1
+                    opt_steps = dp_scan_k
                 elif kind == "group":
                     self.state, logs = model.train_steps(self.state, batch,
                                                          step_rng)
@@ -372,19 +374,22 @@ class Trainer:
 
     @staticmethod
     def _train_stream(loader, k: int, skip: int = 0,
-                      drop_last: bool = False):
+                      drop_last: bool = False, dp: int = 1):
         """Group batches into fused-execution units, stack + device_put in
         the prefetch worker so host packing and H2D transfers overlap the
         device's previous step. ``skip`` consumes that many batches from
         the loader first (resume fast-forward — they never get stacked or
         transferred). ``drop_last`` discards a tail smaller than one group
-        (data-parallel mode: every device must hold a batch).
+        (data-parallel mode: every device must hold a batch). With
+        ``dp > 1`` and ``k > dp`` the (k,) stack is reshaped to
+        (k/dp, dp, ...) for the DP × scan step.
         Yields (kind, device_batch, steps, edges)."""
         import itertools
 
         import jax as _jax
 
         from ..parallel.dp import stack_batches
+        from ..sampling.batch import GraphBatch
 
         it = iter(loader)
         if skip:
@@ -396,8 +401,12 @@ class Trainer:
             if len(pending) == k:
                 edges = sum(int(np.sum(b.edge_mask)) for b in pending)
                 if k > 1:
-                    yield ("group", _jax.device_put(stack_batches(pending)),
-                           k, edges)
+                    stacked = stack_batches(pending)
+                    if dp > 1 and k > dp:
+                        stacked = GraphBatch(*[
+                            a.reshape(k // dp, dp, *a.shape[1:])
+                            for a in stacked])
+                    yield ("group", _jax.device_put(stacked), k, edges)
                 else:
                     yield ("single", _jax.device_put(pending[0]), 1, edges)
                 pending = []

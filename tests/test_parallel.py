@@ -370,3 +370,51 @@ def test_trainer_devices_engages_data_parallel(graph):
     w = np.asarray(
         trainer.state.params["model"]["decoder"]["rel_emb"])
     assert np.isfinite(w).all()
+
+
+def test_trainer_devices_data_parallel_gcl(graph):
+    """devices=N covers the GCL modules too (shared _forward_loss
+    contract, training/stepping.py)."""
+    from biomedkg_tpu.sampling.loaders import SaintRandomWalkLoader
+    from biomedkg_tpu.training.gcl_module import DGIModule
+    from biomedkg_tpu.training.trainer import Trainer
+
+    tg = graph
+    loader = SaintRandomWalkLoader(tg.graph, batch_size=8, walk_length=4,
+                                   num_steps=8, block_size=32, seed=1)
+    module = DGIModule(in_dim=DIM, hidden_dim=DIM, out_dim=DIM,
+                       num_hidden_layers=1, scheduler_type="cosine",
+                       learning_rate=1e-3, warm_up_ratio=0.1,
+                       fuse_method="none")
+    trainer = Trainer(max_epochs=1, devices=8, enable_checkpointing=False,
+                      enable_progress_bar=False)
+    trainer.fit(module, loader)
+    assert trainer.global_step == 1
+    assert np.isfinite(trainer.history[-1]["train_loss_epoch"])
+
+
+def test_trainer_devices_dp_scan_fusion(graph):
+    """devices=N composes with steps_per_execution=k: k optimizer steps
+    per dispatch, each over N per-device batches (the pod production
+    mode — pmean DP + lax.scan dispatch fusion)."""
+    from biomedkg_tpu.sampling.loaders import SaintRandomWalkLoader
+    from biomedkg_tpu.training.kge_module import KGEModule
+    from biomedkg_tpu.training.trainer import Trainer
+
+    tg = graph
+    loader = SaintRandomWalkLoader(tg.graph, batch_size=8, walk_length=4,
+                                   num_steps=36, block_size=32, seed=2)
+    module = KGEModule(
+        encoder_name="rgcn", decoder_name="dismult", in_dim=DIM,
+        hidden_dim=DIM, out_dim=DIM, num_hidden_layers=1,
+        num_relation=tg.num_edge_types, num_heads=2,
+        scheduler_type="cosine", learning_rate=1e-3, warm_up_ratio=0.2,
+        fuse_method="none", neg_ratio=2, node_init_method="random")
+    trainer = Trainer(max_epochs=1, devices=8, steps_per_execution=2,
+                      enable_checkpointing=False,
+                      enable_progress_bar=False)
+    trainer.fit(module, loader)
+    # 36 batches, 16 per dispatch (8 dp x 2 scan) -> 2 dispatches =
+    # 4 optimizer steps; 4-batch tail dropped
+    assert trainer.global_step == 4, trainer.global_step
+    assert np.isfinite(trainer.history[-1]["train_loss_epoch"])
