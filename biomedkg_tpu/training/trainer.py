@@ -175,8 +175,8 @@ class Trainer:
         # one optimizer step consumes dp batches (DDP semantics: grads
         # pmean'd across the group), so the scheduler horizon shrinks
         steps_per_epoch = (1 if self.fast_dev_run
-                           else len(train_dataloaders) // dp if dp > 1
-                           else len(train_dataloaders))
+                           else max(1, len(train_dataloaders) // dp)
+                           if dp > 1 else len(train_dataloaders))
         model.configure_optimizers(steps_per_epoch * epochs,
                                    grad_clip=self.gradient_clip_val)
         dp_step = None
