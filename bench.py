@@ -42,7 +42,15 @@ def _require_backend(attempts=3, timeout_s=90, sleep_s=30):
                  "import jax; d = jax.devices(); print(d[0].platform)"],
                 capture_output=True, text=True, timeout=timeout_s)
             if r.returncode == 0:
-                return r.stdout.strip()
+                platform = r.stdout.strip().splitlines()[-1]
+                if platform in ("tpu", "axon"):
+                    return platform
+                # a silent JAX fallback (axon plugin raising instead of
+                # hanging) must NOT publish CPU numbers as the TPU bench
+                print(json.dumps({
+                    "error": "tpu backend unavailable",
+                    "detail": f"jax fell back to '{platform}'"}))
+                sys.exit(1)
             last = (r.stderr or r.stdout).strip().splitlines()[-1:] or ["?"]
             last = last[0][:200]
         except subprocess.TimeoutExpired:

@@ -86,12 +86,20 @@ def synthetic_primekg_full(num_edges: int = 4_000_000, seed: int = 0,
                                           num_edges=num_edges, seed=seed)
 
 
-def synthetic_triplets_from_schema(sizes, relations, num_edges, seed=0
-                                   ) -> pd.DataFrame:
-    """Schema-driven generator shared by the filtered and full variants."""
+def synthetic_triplets_from_schema(sizes, relations, num_edges, seed=0,
+                                   name_fn=None) -> pd.DataFrame:
+    """Schema-driven generator shared by the filtered and full variants.
+
+    ``name_fn(type, i)`` controls node naming — each variant keeps its
+    historical scheme so seeded fixtures/caches keep their sorted node
+    order (full: 4-char type prefix to disambiguate the 10-type
+    vocabulary; filtered: full first segment)."""
     rng = np.random.default_rng(seed)
-    names = {t: np.array([f"{t.split('/')[0][:4]}_{i:06d}"
-                          for i in range(n)]) for t, n in sizes.items()}
+    if name_fn is None:
+        def name_fn(t, i):
+            return f"{t.split('/')[0][:4]}_{i:06d}"
+    names = {t: np.array([name_fn(t, i) for i in range(n)])
+             for t, n in sizes.items()}
     shares = np.array([r[3] for r in relations], dtype=np.float64)
     shares /= shares.sum()
     rows = []
@@ -124,29 +132,12 @@ def synthetic_triplets(
     relations=None,
     seed: int = 0,
 ) -> pd.DataFrame:
-    rng = np.random.default_rng(seed)
     relations = relations or PRIMEKG_RELATIONS
     sizes = {"gene/protein": num_gene, "drug": num_drug,
              "disease": num_disease}
-    names = {t: np.array([f"{t.split('/')[0]}_{i:06d}" for i in range(n)])
-             for t, n in sizes.items()}
-
-    shares = np.array([r[3] for r in relations], dtype=np.float64)
-    shares /= shares.sum()
-    rows = []
-    for (rel, xt, yt, _), share in zip(relations, shares):
-        m = max(1, int(num_edges * share))
-        src = _power_law_targets(rng, sizes[xt], m)
-        dst = _power_law_targets(rng, sizes[yt], m)
-        rows.append(pd.DataFrame({
-            "x_type": xt, "x_name": names[xt][src],
-            "relation": rel,
-            "y_type": yt, "y_name": names[yt][dst],
-        }))
-    df = pd.concat(rows, ignore_index=True)
-    df = df.drop_duplicates(
-        subset=["x_name", "relation", "y_name"]).reset_index(drop=True)
-    return df
+    return synthetic_triplets_from_schema(
+        sizes, relations, num_edges=num_edges, seed=seed,
+        name_fn=lambda t, i: f"{t.split('/')[0]}_{i:06d}")
 
 
 def synthetic_dpi(num_drug: int = 300, num_gene: int = 500,

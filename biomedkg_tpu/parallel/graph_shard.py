@@ -464,6 +464,10 @@ def make_sharded_train_step(encoder, decoder, tx, mesh: Mesh,
         if fixed_neg is None:
             p = sharded.x.shape[0]
             fixed_neg = np.zeros((p, 2, 0, 0), np.int32)
+        # node_order is host-only un-permute metadata (balance=True);
+        # keep it out of the jitted pytree — it would otherwise ride
+        # H2D on every step as an unused (N_pad,) int64 leaf
+        sharded = sharded._replace(node_order=None)
         return step_fn(state, sharded, rng, jnp.asarray(fixed_neg))
 
     return run

@@ -147,50 +147,75 @@ class Trainer:
         finally:
             self._in_fit = False
 
-    def _resolve_dp(self) -> int:
-        """Number of data-parallel devices from the Lightning-style
-        ``devices`` argument, clamped to what the platform offers."""
+    def _resolve_dp(self):
+        """(count, device list) from the Lightning-style ``devices``
+        argument: int = that many devices, -1/"auto" = all, list =
+        THOSE device ids; clamped to what the platform offers."""
         d = self.devices
+        all_devs = jax.devices()
         if d is None:
-            return 1
+            return 1, all_devs[:1]
+        if isinstance(d, (list, tuple)):
+            bad = [i for i in d if not (0 <= int(i) < len(all_devs))]
+            if bad:
+                import warnings
+
+                warnings.warn(f"devices={d!r}: ids {bad} don't exist "
+                              f"(have {len(all_devs)}) — ignoring them",
+                              stacklevel=2)
+            ids = [int(i) for i in d if 0 <= int(i) < len(all_devs)]
+            devs = [all_devs[i] for i in ids] or all_devs[:1]
+            return len(devs), devs
         if isinstance(d, str):
-            want = len(jax.devices()) if d == "auto" else int(d)
-        elif isinstance(d, (list, tuple)):
-            want = len(d)
+            want = len(all_devs) if d == "auto" else int(d)
         else:
             want = int(d)
-        have = len(jax.devices())
-        if want > have:
+        if want < 0:  # Lightning devices=-1: all devices
+            want = len(all_devs)
+        if want > len(all_devs):
             import warnings
 
             warnings.warn(f"devices={d!r} requests {want} devices but "
-                          f"only {have} exist — clamping", stacklevel=2)
-        return max(1, min(want, have))
+                          f"only {len(all_devs)} exist — clamping",
+                          stacklevel=2)
+        n = max(1, min(want, len(all_devs)))
+        return n, all_devs[:n]
 
     def _fit(self, model, train_dataloaders, val_dataloaders=None,
              init_params=None, resume_from: Optional[str] = None):
         self.module = model
         epochs = 1 if self.fast_dev_run else self.max_epochs
-        dp = 1 if self.fast_dev_run else self._resolve_dp()
+        dp, dp_devices = (1, None) if self.fast_dev_run \
+            else self._resolve_dp()
+        dp_scan_k = self.steps_per_execution if dp > 1 else 1
         # one optimizer step consumes dp batches (DDP semantics: grads
-        # pmean'd across the group), so the scheduler horizon shrinks
-        steps_per_epoch = (1 if self.fast_dev_run
-                           else max(1, len(train_dataloaders) // dp)
-                           if dp > 1 else len(train_dataloaders))
+        # pmean'd across the group) and dispatches go in dp·k groups with
+        # the tail dropped — the scheduler horizon and resume math must
+        # count the steps that actually EXECUTE, not len//dp
+        if dp > 1:
+            n = len(train_dataloaders)
+            if n < dp * dp_scan_k:
+                raise ValueError(
+                    f"devices={dp} x steps_per_execution={dp_scan_k} "
+                    f"needs at least {dp * dp_scan_k} batches per epoch, "
+                    f"loader has {n} — every epoch would train ZERO "
+                    f"steps (drop_last)")
+            steps_per_epoch = (n // (dp * dp_scan_k)) * dp_scan_k
+        else:
+            steps_per_epoch = 1 if self.fast_dev_run \
+                else len(train_dataloaders)
         model.configure_optimizers(steps_per_epoch * epochs,
                                    grad_clip=self.gradient_clip_val)
         dp_step = None
-        dp_scan_k = 1
         if dp > 1:
             from ..parallel.dp import (make_dp_train_step,
                                        make_dp_train_steps_scan)
             from ..parallel.mesh import make_mesh
 
-            mesh = make_mesh(dp=dp, tp=1, devices=jax.devices()[:dp])
-            if self.steps_per_execution > 1:
+            mesh = make_mesh(dp=dp, tp=1, devices=dp_devices)
+            if dp_scan_k > 1:
                 # DP × fused execution: k optimizer steps per dispatch,
                 # each over dp per-device batches
-                dp_scan_k = self.steps_per_execution
                 dp_step = make_dp_train_steps_scan(model, mesh, dp_scan_k)
             else:
                 dp_step = make_dp_train_step(model, mesh)
