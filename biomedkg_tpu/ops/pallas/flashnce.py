@@ -69,7 +69,7 @@ def _fwd_kernel(tau, nj, a_ref, b_ref, aj_ref, col_ref, den_ref,
         s_scr[:] = jnp.zeros_like(s_scr)
 
     blk = a_ref.shape[0]
-    inter, intra = _logits(a_ref[:], b_ref[:], aj_ref[:], col_ref[0, :],
+    inter, intra = _logits(a_ref[:], b_ref[:], aj_ref[:], col_ref[j, :],
                            tau, i == j, i * blk, j * blk)
     local = jnp.maximum(jnp.max(inter, axis=1, keepdims=True),
                         jnp.max(intra, axis=1, keepdims=True))
@@ -105,7 +105,7 @@ def _bwd_rows_kernel(tau, nj, a_ref, b_ref, aj_ref, col_ref, gd_ref,
 
     blk = a_ref.shape[0]
     gd, dn = gd_ref[:], dn_ref[:]                       # (block, 1) columns
-    gi, gt = _softmax_cots(a_ref[:], b_ref[:], aj_ref[:], col_ref[0, :],
+    gi, gt = _softmax_cots(a_ref[:], b_ref[:], aj_ref[:], col_ref[j, :],
                            gd, dn, tau, i == j, i * blk, j * blk)
     acc_scr[:] += (
         jnp.dot(gi, b_ref[:].astype(jnp.float32),
@@ -129,7 +129,7 @@ def _bwd_cols_kernel(tau, ni, a_ref, b_ref, aj_ref, col_ref, gd_ref,
 
     blk = a_ref.shape[0]
     gd, dn = gd_ref[:], dn_ref[:]                       # (block, 1) columns
-    gi, gt = _softmax_cots(a_ref[:], b_ref[:], aj_ref[:], col_ref[0, :],
+    gi, gt = _softmax_cots(a_ref[:], b_ref[:], aj_ref[:], col_ref[j, :],
                            gd, dn, tau, i == j, i * blk, j * blk)
     a32 = a_ref[:].astype(jnp.float32)
     db_scr[:] += jax.lax.dot_general(
@@ -156,9 +156,14 @@ def _tile_spec(block, d, which):
                         memory_space=pltpu.VMEM)
 
 
-def _row_spec(block, which):
-    return pl.BlockSpec((1, block), {"i": lambda a, b: (a, 0),
-                                     "j": lambda a, b: (b, 0)}[which],
+def _full_spec(nt, block):
+    """Whole (nt, block) col-mask array resident in VMEM (N·4 bytes —
+    ~25 KB at the production batch). A block spec equal to the array
+    shape is always Mosaic-legal, unlike a (1, block) row block whose
+    sublane dim of 1 violates the (8, 128) tiling rule and whose lane
+    blocking would demand block % 128 == 0; the kernels pick their row
+    with a dynamic sublane index instead."""
+    return pl.BlockSpec((nt, block), lambda a, b: (0, 0),
                         memory_space=pltpu.VMEM)
 
 
@@ -182,8 +187,9 @@ def fits(n: int, d: int, block: int, itemsize: int = 4) -> bool:
     ops = 2 * 3 * block * d * itemsize
     logits = 4 * block * block * 4
     accs = 4 * block * d * 4
+    col = n * 4  # whole (nt, block) mask resident (see _full_spec)
     return n % block == 0 and d % 128 == 0 and block % 16 == 0 \
-        and ops + logits + accs < 13 * 1024 * 1024
+        and ops + logits + accs + col < 13 * 1024 * 1024
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
@@ -205,7 +211,7 @@ def _denom_impl(an, bn, col, block, tau):
         functools.partial(_fwd_kernel, tau, nt),
         grid=grid,
         in_specs=[_tile_spec(block, d, "i"), _tile_spec(block, d, "j"),
-                  _tile_spec(block, d, "j"), _row_spec(block, "j")],
+                  _tile_spec(block, d, "j"), _full_spec(nt, block)],
         out_specs=_col_spec(block, "i"),
         out_shape=jax.ShapeDtypeStruct((n, 1), jnp.float32),
         scratch_shapes=[pltpu.VMEM((block, 1), jnp.float32),
@@ -231,7 +237,7 @@ def _vjp_bwd(block, tau, res, g):
         functools.partial(_bwd_rows_kernel, tau, nt),
         grid=(nt, nt),
         in_specs=[_tile_spec(block, d, "i"), _tile_spec(block, d, "j"),
-                  _tile_spec(block, d, "j"), _row_spec(block, "j"),
+                  _tile_spec(block, d, "j"), _full_spec(nt, block),
                   _col_spec(block, "i"), _col_spec(block, "i")],
         out_specs=pl.BlockSpec((block, d), lambda i, j: (i, 0),
                                memory_space=pltpu.VMEM),
@@ -243,7 +249,7 @@ def _vjp_bwd(block, tau, res, g):
         functools.partial(_bwd_cols_kernel, tau, nt),
         grid=(nt, nt),
         in_specs=[_tile_spec(block, d, "j"), _tile_spec(block, d, "i"),
-                  _tile_spec(block, d, "i"), _row_spec(block, "i"),
+                  _tile_spec(block, d, "i"), _full_spec(nt, block),
                   _col_spec(block, "j"), _col_spec(block, "j")],
         out_specs=[pl.BlockSpec((block, d), lambda j, i: (j, 0),
                                 memory_space=pltpu.VMEM),

@@ -178,13 +178,21 @@ def infonce_intraview_loss(h1, h2, node_mask, tau: float = 0.2,
 
         from ..ops.pallas import flashnce
 
-        if ((jax.default_backend() in ("tpu", "axon")
-             or flashnce._FORCE_KERNEL)
-                and not os.environ.get("BIOMEDKG_NO_FLASHNCE")
+        if ((flashnce._FORCE_KERNEL
+             or (jax.default_backend() in ("tpu", "axon")
+                 and os.environ.get("BIOMEDKG_FLASHNCE")))
                 and flashnce.fits(an.shape[0], an.shape[1], block)):
             # fully-fused tile pipeline: only the (N,) denominators and
-            # (block, d) operand tiles touch HBM (ops/pallas/flashnce.py);
-            # the positive term is the inter diagonal — a rowwise dot
+            # (block, d) operand tiles touch HBM (ops/pallas/flashnce.py).
+            # OPT-IN (BIOMEDKG_FLASHNCE=1): chip-measured 2026-08-19 the
+            # kernels LOSE to the XLA flash-VJP path below — GRACE bf16
+            # 7.95 vs 7.41 ms/step at the best VMEM-feasible block (448;
+            # 224 → 9.10, 896 needs ~22 MB > VMEM) — because XLA already
+            # fuses the streamed (block, N) tile pipeline well and the
+            # Pallas grid revisits operand tiles nt× per pass (PERF.md
+            # round-4 "flash-NCE decision"). Kept for parity tests and
+            # future hardware where the VMEM budget admits larger blocks.
+            # The positive term is the inter diagonal — a rowwise dot.
             pos = (jnp.sum(an * bn, axis=1) / tau).astype(jnp.float32) \
                 + col
             denom = flashnce.flash_denom(an, bn, col, block, tau)
