@@ -251,3 +251,35 @@ def test_mask_feature_is_entrywise():
     assert not col_all_zero.all() and not col_all_keep.all()
     # node-level stochasticity: rows differ
     assert (zero[0] != zero[1]).any()
+
+
+def test_flashnce_kernel_is_opt_in(monkeypatch):
+    """The fused Pallas denom kernels are OPT-IN (chip-measured slower
+    than the XLA flash-VJP path, PERF.md round-4 "flash-NCE decision"):
+    on a TPU backend the default must take the XLA path, and
+    BIOMEDKG_FLASHNCE=1 must route through flashnce.flash_denom."""
+    from biomedkg_tpu.ops.pallas import flashnce
+    from biomedkg_tpu.training import gcl_module
+
+    class KernelTouched(Exception):
+        pass
+
+    def boom(*a, **k):
+        raise KernelTouched
+
+    monkeypatch.setattr(flashnce, "flash_denom", boom)
+    monkeypatch.setattr(gcl_module.jax, "default_backend", lambda: "tpu")
+    assert not flashnce._FORCE_KERNEL
+
+    n, d = 128, 128
+    rng = np.random.default_rng(0)
+    h1 = jnp.asarray(rng.standard_normal((n, d)), jnp.float32)
+    h2 = jnp.asarray(rng.standard_normal((n, d)), jnp.float32)
+    mask = jnp.ones(n, bool)
+
+    monkeypatch.delenv("BIOMEDKG_FLASHNCE", raising=False)
+    assert np.isfinite(float(infonce_intraview_loss(h1, h2, mask,
+                                                    block=64)))
+    monkeypatch.setenv("BIOMEDKG_FLASHNCE", "1")
+    with pytest.raises(KernelTouched):
+        infonce_intraview_loss(h1, h2, mask, block=64)
