@@ -44,14 +44,19 @@ def relation_matmul(
     weights: jax.Array,
     edge_type: jax.Array,
     block_rel: Optional[jax.Array] = None,
-    block_size: int = 256,
+    block_size: Optional[int] = None,
     impl: str = "auto",
 ) -> jax.Array:
     """Dispatch to the best available backend.
 
     ``block_rel`` is the per-block relation id for relation-sorted padded
     batches (None → the edges are not relation-block aligned and the scan
-    path is used).
+    path is used). ``block_size`` is DERIVED from the batch's own
+    metadata (``E_pad // len(block_rel)``) unless given explicitly — the
+    loader decides the relation-block granularity (``data.block_size``),
+    and a fixed kernel-side default silently disagrees with any
+    non-default loader setting (the backward segment_sum then scatters
+    ``E/256`` per-block gradients with ``E/64`` indices).
     """
     if impl == "auto":
         # ("tpu", "axon") like every other kernel gate in the repo —
@@ -62,5 +67,17 @@ def relation_matmul(
     if impl == "pallas":
         if block_rel is None:
             raise ValueError("pallas relation_matmul requires block_rel metadata")
+        if block_size is None:
+            if msg.shape[0] % block_rel.shape[0]:
+                raise ValueError(
+                    f"E_pad ({msg.shape[0]}) is not a multiple of the "
+                    f"block count ({block_rel.shape[0]}) — block_rel does "
+                    "not describe this batch's edge layout")
+            block_size = msg.shape[0] // block_rel.shape[0]
+        elif block_size * block_rel.shape[0] != msg.shape[0]:
+            raise ValueError(
+                f"explicit block_size {block_size} disagrees with the "
+                f"batch layout: {block_rel.shape[0]} blocks × "
+                f"{block_size} ≠ E_pad {msg.shape[0]}")
         return relation_matmul_sorted(msg, weights, block_rel, block_size)
     return _relmm_scan(msg, weights, edge_type)

@@ -6,6 +6,11 @@ edges — no split/seed dependence; embeddings stay device-resident), then
 answer
 
   * ``score(head_name, relation_name, tail_name)`` → probability
+  * ``score_many([(h, r, t), ...])``               → probabilities for a
+    whole batch in ONE device dispatch (interactive queries through a
+    remote chip are round-trip-bound — scripts/serving_probe.py measured
+    ~30 ms/query single vs sub-ms amortized batched; production servers
+    should buffer and batch)
   * ``topk_tails(head_name, relation_name, k)``    → ranked candidates,
     type-masked to the relation's observed tail type and excluding the
     query head
@@ -85,6 +90,37 @@ class KGEScorer:
                                jnp.array([h]), jnp.array([t]),
                                jnp.array([r]))[0]
         return float(jax.nn.sigmoid(logit))
+
+    def score_many(
+            self, triples: List[Tuple[str, str, str]]) -> List[float]:
+        """Score a batch of (head, relation, tail) name triples in one
+        device dispatch per static bucket.
+
+        Queries are padded to power-of-two buckets (min 64, chunked at
+        4096) so an interactive server sees a handful of compiles, then
+        amortizes the host↔device round trip across the whole batch —
+        the single-query path pays ~the full RTT per call."""
+        if not triples:
+            return []
+        ids = np.empty((3, len(triples)), np.int32)
+        for i, (head, relation, tail) in enumerate(triples):
+            h, r = self._ids(head, relation)
+            if tail not in self.name_to_id:
+                raise KeyError(f"unknown node: {tail!r}")
+            ids[:, i] = (h, self.name_to_id[tail], r)
+        out: List[float] = []
+        for lo in range(0, ids.shape[1], 4096):
+            chunk = ids[:, lo:lo + 4096]
+            n = chunk.shape[1]
+            width = max(64, 1 << (n - 1).bit_length())
+            padded = np.pad(chunk, ((0, 0), (0, width - n)), mode="edge")
+            logits = self._score_fn(self.dec_params, self.z,
+                                    jnp.asarray(padded[0]),
+                                    jnp.asarray(padded[1]),
+                                    jnp.asarray(padded[2]))
+            out.extend(np.asarray(jax.nn.sigmoid(logits[:n]),
+                                  np.float64).tolist())
+        return out
 
     def topk_tails(self, head: str, relation: str,
                    k: int = 10) -> List[Tuple[str, float]]:

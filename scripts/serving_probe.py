@@ -74,6 +74,16 @@ def main():
     print(f"[score] {dt * 1e3:.2f} ms/query  ({1 / dt:,.0f} qps)",
           flush=True)
 
+    scorer.score_many(queries[:1])                  # compile (64 bucket)
+    big = (queries * ((256 // len(queries)) + 1))[:256]
+    scorer.score_many(big)                          # compile (256 bucket)
+    t0 = time.perf_counter()
+    for _ in range(5):
+        scorer.score_many(big)
+    dt = (time.perf_counter() - t0) / (5 * len(big))
+    print(f"[score_many] batch 256: {dt * 1e3:.3f} ms/query amortized "
+          f"({1 / dt:,.0f} qps)", flush=True)
+
     scorer.topk_tails(*queries[0][:2], 10)          # compile
     t0 = time.perf_counter()
     for h, r, _ in queries:

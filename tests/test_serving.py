@@ -74,3 +74,19 @@ def test_scorer(tmp_path, monkeypatch):
 
     with pytest.raises(KeyError):
         scorer.score("nonexistent_node", rel, t_name)
+
+    # batched path: one dispatch per bucket, same numbers as the
+    # single-query path (incl. a size that is not a bucket multiple)
+    triples = []
+    for e in range(67):
+        e = e % g.edge_index.shape[1]
+        triples.append((scorer.id_to_name[int(g.edge_index[0, e])],
+                        dm2.edge_map_index[int(g.edge_type[e])],
+                        scorer.id_to_name[int(g.edge_index[1, e])]))
+    batched = scorer.score_many(triples)
+    assert len(batched) == 67
+    singles = [scorer.score(*t) for t in triples[:5]]
+    np.testing.assert_allclose(batched[:5], singles, rtol=1e-5)
+    assert scorer.score_many([]) == []
+    with pytest.raises(KeyError):
+        scorer.score_many([(h_name, rel, "nonexistent_node")])
