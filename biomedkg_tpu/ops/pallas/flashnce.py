@@ -187,7 +187,9 @@ def fits(n: int, d: int, block: int, itemsize: int = 4) -> bool:
     ops = 2 * 3 * block * d * itemsize
     logits = 4 * block * block * 4
     accs = 4 * block * d * 4
-    col = n * 4  # whole (nt, block) mask resident (see _full_spec)
+    # whole (nt, block) mask resident (see _full_spec); 2x for Pallas's
+    # double-buffered input windows.
+    col = 2 * n * 4
     return n % block == 0 and d % 128 == 0 and block % 16 == 0 \
         and ops + logits + accs + col < 13 * 1024 * 1024
 

@@ -180,7 +180,8 @@ def infonce_intraview_loss(h1, h2, node_mask, tau: float = 0.2,
 
         if ((flashnce._FORCE_KERNEL
              or (jax.default_backend() in ("tpu", "axon")
-                 and os.environ.get("BIOMEDKG_FLASHNCE")))
+                 and os.environ.get("BIOMEDKG_FLASHNCE", "").lower()
+                 not in ("", "0", "false")))
                 and flashnce.fits(an.shape[0], an.shape[1], block)):
             # fully-fused tile pipeline: only the (N,) denominators and
             # (block, d) operand tiles touch HBM (ops/pallas/flashnce.py).

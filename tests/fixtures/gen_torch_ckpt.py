@@ -64,7 +64,8 @@ def _lin(g, dout, din):
 
 def make_kge_ckpt(path, in_dim=8, hidden_dim=8, out_dim=8,
                   num_hidden_layers=0, num_relation=3, seed=0,
-                  decoder="dismult", fuse_method=None):
+                  decoder="dismult", fuse_method=None,
+                  complex_halfwidth=False, drop_hparams=()):
     """RGCN + decoder KGEModule checkpoint (reference kge_module.py:19-75,
     PyG RGCNConv params weight/root/bias; optional AttentionFusion/ReDAF
     modality_transform per reference utils/fusion.py)."""
@@ -82,11 +83,16 @@ def make_kge_ckpt(path, in_dim=8, hidden_dim=8, out_dim=8,
                                         generator=g) * 0.2
         sd[p + ".root"] = torch.randn(din, dout, generator=g) * 0.2
         sd[p + ".bias"] = torch.randn(dout, generator=g) * 0.05
-    sd["model.decoder.rel_emb"] = torch.randn(num_relation, out_dim,
+    # complex_halfwidth models a sanely-FIXED reference variant whose rel
+    # tables are out_dim//2 wide (the as-shipped full-width layout cannot
+    # run, reference decoder.py:52-77)
+    rel_width = out_dim // 2 if (decoder == "complex"
+                                 and complex_halfwidth) else out_dim
+    sd["model.decoder.rel_emb"] = torch.randn(num_relation, rel_width,
                                               generator=g) * 0.2
     if decoder == "complex":
         sd["model.decoder.rel_emb_imag"] = torch.randn(
-            num_relation, out_dim, generator=g) * 0.2
+            num_relation, rel_width, generator=g) * 0.2
     if fuse_method == "attention":
         for name in ("q_proj", "k_proj", "v_proj"):
             w, b = _lin(g, in_dim, in_dim)
@@ -107,6 +113,8 @@ def make_kge_ckpt(path, in_dim=8, hidden_dim=8, out_dim=8,
         num_heads=1, scheduler_type="cosine", learning_rate=1e-3,
         warm_up_ratio=0.2, fuse_method=fuse_method, neg_ratio=10,
         node_init_method="lm" if fuse_method else "random")
+    for k in drop_hparams:
+        hp.pop(k, None)
     torch.save({"state_dict": sd, "hyper_parameters": hp,
                 "global_step": 123, "epoch": 4,
                 "pytorch-lightning_version": "2.2.0"}, path)

@@ -277,9 +277,13 @@ def test_flashnce_kernel_is_opt_in(monkeypatch):
     h2 = jnp.asarray(rng.standard_normal((n, d)), jnp.float32)
     mask = jnp.ones(n, bool)
 
-    monkeypatch.delenv("BIOMEDKG_FLASHNCE", raising=False)
-    assert np.isfinite(float(infonce_intraview_loss(h1, h2, mask,
-                                                    block=64)))
+    for off in (None, "0", "false", "False", ""):
+        if off is None:
+            monkeypatch.delenv("BIOMEDKG_FLASHNCE", raising=False)
+        else:
+            monkeypatch.setenv("BIOMEDKG_FLASHNCE", off)
+        assert np.isfinite(float(infonce_intraview_loss(h1, h2, mask,
+                                                        block=64)))
     monkeypatch.setenv("BIOMEDKG_FLASHNCE", "1")
     with pytest.raises(KernelTouched):
         infonce_intraview_loss(h1, h2, mask, block=64)

@@ -243,6 +243,126 @@ def test_kge_fusion_and_complex_import(tmp_path):
                                want_rel)
 
 
+def test_complex_fullwidth_roundtrip_torch_twin(tmp_path):
+    """VERDICT r4 item #7: round-trip a synthetic FULL-WIDTH ComplEx ckpt
+    (the reference's as-shipped layout, decoder.py:52-77) through a torch
+    twin to pin the repack semantics. The imported half-width packed
+    decoder must reproduce EXACTLY (f64 twin, f32 import → 1e-4) the
+    scores of the minimal runnable fix of the reference forward
+    (rel_real = rel_emb[:, :d/2], rel_imag = rel_emb_imag[:, :d/2]); and
+    the dropped second halves must influence nothing — perturbing them in
+    the stored checkpoint leaves imported scores bit-identical."""
+    import torch
+
+    from biomedkg_tpu.interop.torch_ckpt import _load_torch_file
+    from biomedkg_tpu.training.kge_module import load_kge_module
+
+    p = make_kge_ckpt(str(tmp_path / "cx.ckpt"), decoder="complex",
+                      out_dim=16, hidden_dim=16, seed=11)
+    remove_fake_lightning()
+    with pytest.warns(UserWarning, match="FULL-width"):
+        module, params = load_kge_module(p)
+    ck = __import__("biomedkg_tpu.training.checkpoint",
+                    fromlist=["load_checkpoint"]).load_checkpoint(p)
+    assert "complex_repack" in ck["extras"]
+
+    rng = np.random.default_rng(5)
+    n, e = 12, 40
+    z = rng.standard_normal((n, 16)).astype(np.float32)
+    src = rng.integers(0, n, e).astype(np.int32)
+    dst = rng.integers(0, n, e).astype(np.int32)
+    sd = _load_torch_file(p)["state_dict"]
+    et = rng.integers(0, sd["model.decoder.rel_emb"].shape[0],
+                      e).astype(np.int32)
+
+    # torch f64 twin of the minimal-fix reference forward
+    zt = torch.from_numpy(z).double()
+    rel_r = sd["model.decoder.rel_emb"].double()[:, :8]
+    rel_i = sd["model.decoder.rel_emb_imag"].double()[:, :8]
+    h, t = zt[src], zt[dst]
+    hr, hi = torch.chunk(h, 2, dim=-1)
+    tr, ti = torch.chunk(t, 2, dim=-1)
+    rr, ri = rel_r[et], rel_i[et]
+    want = ((hr * rr - hi * ri) * tr
+            + (hr * ri + hi * rr) * ti).sum(-1).numpy()
+
+    got = np.asarray(module.model.decode(params["model"], z, src, dst, et))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+    # perturb the SECOND halves in the stored ckpt: imported scores must
+    # not move — that is precisely what the repack drops
+    raw = _load_torch_file(p)
+    raw["hyper_parameters"] = dict(raw["hyper_parameters"])  # picklable
+    raw["state_dict"]["model.decoder.rel_emb"][:, 8:] += 100.0
+    raw["state_dict"]["model.decoder.rel_emb_imag"][:, 8:] -= 100.0
+    p2 = str(tmp_path / "cx_perturbed.ckpt")
+    torch.save(raw, p2)
+    with pytest.warns(UserWarning, match="FULL-width"):
+        module2, params2 = load_kge_module(p2)
+    got2 = np.asarray(module2.model.decode(params2["model"], z, src,
+                                           dst, et))
+    np.testing.assert_array_equal(got, got2)
+
+
+def test_complex_halfwidth_tables_import_losslessly(tmp_path):
+    """A sanely-fixed reference variant stores HALF-width rel tables
+    (out_dim//2): the importer must detect the width and concatenate the
+    whole tables — exact, no warning, no dropped columns."""
+    import warnings as _w
+
+    from biomedkg_tpu.interop.torch_ckpt import _load_torch_file
+    from biomedkg_tpu.training.kge_module import load_kge_module
+
+    p = make_kge_ckpt(str(tmp_path / "cxh.ckpt"), decoder="complex",
+                      out_dim=16, hidden_dim=16, complex_halfwidth=True,
+                      seed=13)
+    remove_fake_lightning()
+    with _w.catch_warnings():
+        _w.simplefilter("error")
+        module, params = load_kge_module(p)
+    sd = _load_torch_file(p)["state_dict"]
+    assert sd["model.decoder.rel_emb"].shape[1] == 8
+    want = np.concatenate([sd["model.decoder.rel_emb"].numpy(),
+                           sd["model.decoder.rel_emb_imag"].numpy()],
+                          axis=1)
+    np.testing.assert_array_equal(params["model"]["decoder"]["rel_emb"],
+                                  want)
+
+
+def test_missing_hparams_warn_and_land_in_extras(tmp_path):
+    """VERDICT r4 weak #5: every hparam the importer derives instead of
+    reading from ``hyper_parameters`` must warn on stderr AND be recorded
+    in extras["derived_hparams"]; assumed guesses (lr, neg_ratio, …) are
+    called out separately from shape-inferred dims."""
+    from biomedkg_tpu.training.checkpoint import load_checkpoint
+
+    p = make_kge_ckpt(
+        str(tmp_path / "nohp.ckpt"), seed=21,
+        drop_hparams=("learning_rate", "neg_ratio", "num_relation",
+                      "num_heads", "warm_up_ratio"))
+    remove_fake_lightning()
+    with pytest.warns(UserWarning, match="ASSUMED defaults") as rec:
+        ck = load_checkpoint(p)
+    assert any("num_relation=3" in str(w.message) for w in rec)
+    derived = ck["extras"]["derived_hparams"]
+    assert set(derived) == {"learning_rate", "neg_ratio", "num_relation",
+                            "num_heads", "warm_up_ratio"}
+    assert derived["num_relation"] == 3      # shape-inferred, correct
+    assert ck["hparams"]["num_relation"] == 3
+    # read fields are NOT flagged
+    assert "in_dim" not in derived
+
+    # a complete hyper_parameters dict imports silently
+    import warnings as _w
+
+    p2 = make_kge_ckpt(str(tmp_path / "full.ckpt"), seed=22)
+    remove_fake_lightning()
+    with _w.catch_warnings():
+        _w.simplefilter("error")
+        ck2 = load_checkpoint(p2)
+    assert "derived_hparams" not in ck2["extras"]
+
+
 def test_redaf_fusion_import(tmp_path):
     from biomedkg_tpu.training.kge_module import load_kge_module
 
