@@ -108,10 +108,17 @@ def build_graph(cache_path="data/bench_graph.npz"):
 def make_loader(graph, seed=0):
     from biomedkg_tpu.sampling.loaders import SaintRandomWalkLoader
 
+    # occupancy-aware packing (sampling/saint.py fill_target): walk roots
+    # top up until realized edges fill ~the whole static envelope —
+    # chip-measured A/B (PERF.md round-5) and seed-banded convergence
+    # parity (scripts/convergence_matrix.py). BIOMEDKG_BENCH_FILL=0
+    # reverts to the reference's fixed 128-root batches.
+    fill_env = os.environ.get("BIOMEDKG_BENCH_FILL", "0.92")
+    fill = None if fill_env in ("", "0", "none") else float(fill_env)
     return SaintRandomWalkLoader(graph, batch_size=BATCH_SIZE,
                                  walk_length=WALK_LENGTH, num_steps=10**9,
                                  block_size=BLOCK_SIZE, seed=seed,
-                                 edge_layout="dst")
+                                 edge_layout="dst", fill_target=fill)
 
 
 def bench_jax(tg, batches, warmup=2, groups=4, scan_k=32):

@@ -76,6 +76,13 @@ class _BaseModule:
         # "relation" (grouped-GEMM blocks) or "dst" (sorted-segment
         # aggregation) — must match the training module's ``edge_layout``.
         self.edge_layout = "relation"
+        # Occupancy-aware SAINT packing (sampling/saint.py fill_target):
+        # None keeps the reference's fixed root count; a float in (0, 1]
+        # tops up walk roots per TRAIN batch until realized edges fill
+        # that fraction of the static envelope. Applied to the train
+        # loader only — eval metrics stay on reference-distribution
+        # batches.
+        self.saint_fill_target = None
 
     def _post_setup(self, dataset):
         self.edge_map_index = dataset.edge_map_index
@@ -114,19 +121,22 @@ class _BaseModule:
         return (self.test_data.graph if getattr(self, "_do_split", True)
                 else self.graph)
 
-    def _saint(self, split, num_steps, seed_offset):
+    def _saint(self, split, num_steps, seed_offset, fill_target=None):
         if self._saint_budgets is None:
+            # budgets probed WITH the fill plan (if any) so train and
+            # eval loaders still share one static envelope per run
             probe = SaintRandomWalkLoader(
                 self._probe_graph(), batch_size=self.batch_size,
                 walk_length=self.SAINT_WALK_LENGTH, num_steps=1,
-                block_size=self.block_size, seed=self.seed)
+                block_size=self.block_size, seed=self.seed,
+                fill_target=self.saint_fill_target)
             self._saint_budgets = (probe.node_budget, probe.edge_budget)
         nb, eb = self._saint_budgets
         return SaintRandomWalkLoader(
             split.graph, batch_size=self.batch_size,
             walk_length=self.SAINT_WALK_LENGTH, num_steps=num_steps,
             block_size=self.block_size, seed=self.seed + seed_offset,
-            node_budget=nb, edge_budget=eb,
+            node_budget=nb, edge_budget=eb, fill_target=fill_target,
             with_features=not self.device_features,
             edge_layout=self.edge_layout)
 
@@ -173,7 +183,8 @@ class _BaseModule:
     def train_dataloader(self, loader_type: str = "neighbor"):
         assert loader_type in ("neighbor", "saint", "full")
         if loader_type == "saint":
-            return self._saint(self.train_data, self.SAINT_TRAIN_STEPS, 1)
+            return self._saint(self.train_data, self.SAINT_TRAIN_STEPS, 1,
+                               fill_target=self.saint_fill_target)
         if loader_type == "full":
             return self._full(self.train_data, self.SAINT_TRAIN_STEPS)
         return self._neighbor(self.train_data, shuffle=True, seed_offset=1)

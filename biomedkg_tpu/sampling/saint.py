@@ -58,7 +58,8 @@ class SaintRandomWalkSampler:
                  num_steps: int, block_size: int = 256,
                  seed: int = 0, edge_budget: int | None = None,
                  node_budget: int | None = None,
-                 with_features: bool = True, edge_layout: str = "relation"):
+                 with_features: bool = True, edge_layout: str = "relation",
+                 fill_target: float | None = None):
         self.graph = graph
         # False → batches carry global node_ids only; features gathered from
         # a device-resident table (sampling/batch.py GraphBatch docstring)
@@ -71,34 +72,99 @@ class SaintRandomWalkSampler:
         self.seed = seed
         self.rng = np.random.default_rng(seed)
         self.dropped_edges = 0
+        # Occupancy-aware packing (PERF.md round-5): the static envelope
+        # makes step cost constant regardless of realized edges, so every
+        # empty slot is pure padded-slot waste (51-59% occupancy measured
+        # at the legacy root count). With ``fill_target=f`` the sampler
+        # TOPS UP walk roots per batch until realized edge capacity
+        # reaches f·edge_budget (or budgets bind) — same envelope, same
+        # compiled step, ~f occupancy.
+        self.fill_target = fill_target
+        if fill_target is not None and not 0.0 < fill_target <= 1.0:
+            raise ValueError(f"fill_target must be in (0, 1]: {fill_target}")
 
         max_nodes = batch_size * (walk_length + 1) + 1
-        self.node_budget = node_budget or _round_up(max_nodes, 128)
-        self.edge_budget = edge_budget or self._probe_edge_budget(seed)
+        if fill_target is None:
+            self.node_budget = node_budget or _round_up(max_nodes, 128)
+            self.edge_budget = edge_budget or self._probe_edge_budget(seed)
+            self.max_roots = batch_size
+        else:
+            probed_budget, mean_raw = self._probe_edge_budget(
+                seed, with_stats=True)
+            self.edge_budget = edge_budget or probed_budget
+            # root headroom from the probed per-root edge yield; induced
+            # edges grow superlinearly in roots, so the linear estimate
+            # overshoots — safe: the top-up loop stops on realized fill
+            per_root = max(mean_raw / batch_size, 1.0)
+            need = int(np.ceil(fill_target * self.edge_budget / per_root))
+            self.max_roots = max(batch_size, int(need * 1.3))
+            self.node_budget = node_budget or _round_up(
+                self.max_roots * (walk_length + 1) + 1, 128)
 
-    def _probe_edge_budget(self, seed: int, probes: int = 8) -> int:
-        """Estimate the padded edge envelope from a few probe batches."""
+    def _probe_edge_budget(self, seed: int, probes: int = 8,
+                           with_stats: bool = False):
+        """Estimate the padded edge envelope from a few probe batches.
+
+        Capacity is layout-dependent (see pad_graph_batch): "dst" packs
+        edges contiguously — capacity is the raw edge count; "relation"
+        pays per-relation block padding. Probing with the padded figure
+        for dst inflated the envelope ~15% at R=30 (pure slot waste)."""
         rng = np.random.default_rng(seed + 104729)
         worst = self.block_size
+        total_raw = 0
         for _ in range(probes):
-            nodes, ei, et = self._sample_raw(rng)
-            counts = np.bincount(et, minlength=self.graph.num_relations)
-            padded = int(np.sum(
-                (counts + self.block_size - 1) // self.block_size
-            ) * self.block_size)
-            worst = max(worst, padded)
+            nodes, ei, et = self._sample_base(rng)
+            total_raw += et.shape[0]
+            worst = max(worst, self._capacity(et))
         # align to lcm(block_size, 2048): relation blocks stay aligned AND
         # the negative path's K·E slot count is a multiple of the Pallas
         # segment-sum chunk (ops/pallas/segsum.py BLOCK), so no runtime pad
         # of the (K·E, d) gradient is needed.
         lcm = int(np.lcm(self.block_size, 2048))
-        return _round_up(int(worst * 1.5), lcm)
+        budget = _round_up(int(worst * 1.5), lcm)
+        if with_stats:
+            return budget, total_raw / probes
+        return budget
 
-    def _sample_raw(self, rng: np.random.Generator):
+    def _capacity(self, et: np.ndarray) -> int:
+        """Edge-slot demand of a realized edge set under the layout."""
+        if self.edge_layout == "dst":
+            return et.shape[0]
+        counts = np.bincount(et, minlength=self.graph.num_relations)
+        return int(np.sum(
+            (counts + self.block_size - 1) // self.block_size
+        ) * self.block_size)
+
+    def _sample_base(self, rng: np.random.Generator):
         roots = rng.integers(0, self.graph.num_nodes, self.batch_size)
         walks = random_walk(self.graph, roots, self.walk_length, rng)
         nodes = np.unique(walks)
         ei, et = self.graph.induced_subgraph(nodes)
+        return nodes, ei, et
+
+    def _sample_raw(self, rng: np.random.Generator):
+        nodes, ei, et = self._sample_base(rng)
+        if self.fill_target is None:
+            return nodes, ei, et
+        target = int(self.fill_target * self.edge_budget)
+        n_roots = self.batch_size
+        for _ in range(3):                       # top-up rounds
+            cap = self._capacity(et)
+            if cap >= target:
+                break
+            # worst-case node growth per extra root is walk_length+1 rows,
+            # so this cap makes the node-budget overflow impossible
+            headroom = (self.node_budget - 1 - len(nodes)) \
+                // (self.walk_length + 1)
+            add = min(int(np.ceil((target - cap) * n_roots / max(cap, 1))),
+                      self.max_roots - n_roots, headroom)
+            if add <= 0:
+                break
+            extra = rng.integers(0, self.graph.num_nodes, add)
+            w2 = random_walk(self.graph, extra, self.walk_length, rng)
+            nodes = np.unique(np.concatenate([nodes, w2.ravel()]))
+            ei, et = self.graph.induced_subgraph(nodes)
+            n_roots += add
         return nodes, ei, et
 
     def sample(self) -> tuple[GraphBatch, np.ndarray]:

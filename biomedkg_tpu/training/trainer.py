@@ -156,17 +156,12 @@ class Trainer:
         if d is None:
             return 1, all_devs[:1]
         if isinstance(d, (list, tuple)):
-            bad = [i for i in d if not (0 <= int(i) < len(all_devs))]
-            if bad:
-                import warnings
-
-                warnings.warn(f"devices={d!r}: ids {bad} don't exist "
-                              f"(have {len(all_devs)}) — ignoring them",
-                              stacklevel=2)
-            ids = [int(i) for i in d if 0 <= int(i) < len(all_devs)]
-            devs = [all_devs[i] for i in ids] or all_devs[:1]
-            return len(devs), devs
+            return self._resolve_dp_list(d, all_devs)
         if isinstance(d, str):
+            if "," in d:   # Lightning "0,1" string → those device ids
+                return self._resolve_dp_list(
+                    [int(x) for x in d.split(",") if x.strip() != ""],
+                    all_devs)
             want = len(all_devs) if d == "auto" else int(d)
         else:
             want = int(d)
@@ -180,6 +175,20 @@ class Trainer:
                           stacklevel=2)
         n = max(1, min(want, len(all_devs)))
         return n, all_devs[:n]
+
+    @staticmethod
+    def _resolve_dp_list(d, all_devs):
+        """Lightning list/"0,1"-string form: THOSE device ids."""
+        bad = [i for i in d if not (0 <= int(i) < len(all_devs))]
+        if bad:
+            import warnings
+
+            warnings.warn(f"devices={d!r}: ids {bad} don't exist "
+                          f"(have {len(all_devs)}) — ignoring them",
+                          stacklevel=2)
+        ids = [int(i) for i in d if 0 <= int(i) < len(all_devs)]
+        devs = [all_devs[i] for i in ids] or all_devs[:1]
+        return len(devs), devs
 
     def _fit(self, model, train_dataloaders, val_dataloaders=None,
              init_params=None, resume_from: Optional[str] = None):

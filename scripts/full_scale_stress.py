@@ -115,7 +115,8 @@ def _make_module(graph, compute_dtype="bfloat16", neg_ratio=10):
     return module
 
 
-def leg_train(graph, steps, scan_k, batch_size=128, walk_length=10):
+def leg_train(graph, steps, scan_k, batch_size=128, walk_length=10,
+              fill=None):
     """KGE training at R=30 / full node count. Prints the batch envelope,
     which negative path the gate picks, and steps/s + triplets/s."""
     import jax
@@ -129,9 +130,13 @@ def leg_train(graph, steps, scan_k, batch_size=128, walk_length=10):
     loader = SaintRandomWalkLoader(graph, batch_size=batch_size,
                                    walk_length=walk_length,
                                    num_steps=10 ** 9, block_size=256,
-                                   seed=0, edge_layout="dst")
+                                   seed=0, edge_layout="dst",
+                                   fill_target=fill)
     it = iter(loader)
     batches = [next(it) for _ in range(scan_k)]
+    occ = np.mean([b.edge_mask.mean() for b in batches])
+    print(f"[train] fill_target={fill}: edge-slot occupancy "
+          f"{occ:.1%}, dropped={loader.dropped_edges}")
     env_nodes = batches[0].x.shape[0] if batches[0].x is not None \
         else len(batches[0].node_mask)
     env_edges = len(batches[0].edge_type)
@@ -414,6 +419,8 @@ def main():
     ap.add_argument("--embed-dim", type=int, default=768)
     ap.add_argument("--steps", type=int, default=4)
     ap.add_argument("--scan-k", type=int, default=8)
+    ap.add_argument("--fill", type=float, default=None,
+                    help="SAINT fill_target for the train leg (e.g. 0.92)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -430,7 +437,8 @@ def main():
         leg_fits(graph)
     if "train" in legs:
         results["triplets_per_sec"] = leg_train(graph, args.steps,
-                                                args.scan_k)
+                                                args.scan_k,
+                                                fill=args.fill)
     if "typed" in legs:
         leg_typed(graph, node_type_of, type_names)
     if "shard" in legs:

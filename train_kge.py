@@ -59,6 +59,13 @@ def main(cfg):
         data_module.edge_layout = "dst"
         model.edge_layout = "dst"
 
+    # occupancy-aware SAINT packing: saint_fill=0.92 tops up walk roots
+    # per train batch until realized edges fill that fraction of the
+    # static envelope (sampling/saint.py fill_target; PERF.md round-5)
+    fill = cfg.get("saint_fill", None)
+    if fill is not None and str(fill).lower() not in ("none", "null", ""):
+        data_module.saint_fill_target = float(fill)
+
 
     exp_name = (f"{cfg.model.encoder_name}_{cfg.model.decoder_name}"
                 f"_{cfg.data.node_init_method}")
