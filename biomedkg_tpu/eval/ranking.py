@@ -86,7 +86,12 @@ def _assemble_filter_pairs(anchors_p, rels_p, valid, chunk, n_chunks,
     cnts = np.bincount(row_global // chunk,
                        minlength=n_chunks).astype(np.int32)
     offs = np.concatenate([[0], np.cumsum(cnts)[:-1]]).astype(np.int32)
-    return rows, cols, offs, cnts
+    # per-ROW pair windows [bounds[i], bounds[i+1]) into the flat pair
+    # table — the scanned path reduces each row's comparison flags by
+    # prefix-sum difference at these boundaries (see _scanned_direction)
+    bounds = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+    return (rows, cols, offs, cnts,
+            row_global.astype(np.int32), bounds.astype(np.int32))
 
 
 # filter-pair pad sizes: at most these many compiled count programs per
@@ -154,25 +159,20 @@ def _direction_ranks(score_all_fn, score_fn, dec_params, z, anchors, rels,
     n_chunks = num_pad // chunk
 
     t0 = time.time()
-    rows, cols, offs, cnts = _assemble_filter_pairs(
+    rows, cols, offs, cnts, rowg, bounds = _assemble_filter_pairs(
         anchors_p, rels_p, valid, chunk, n_chunks, filt, num_keys)
     total = len(rows)
-    maxp = int(cnts.max()) if n_chunks else 0
-    maxp = max(8, 1 << (maxp - 1).bit_length()) if maxp else 8
     _tlog(f"assemble pairs: {time.time() - t0:.2f}s total={total} "
-          f"maxp={maxp} n_chunks={n_chunks}")
+          f"n_chunks={n_chunks}")
 
     if total * 4 * 2 <= 2 << 30:   # flat pair table fits device memory
-        # dynamic_slice pads: slices of size maxp never run out of bounds
-        frows = np.concatenate([rows, np.zeros(maxp, np.int32)])
-        fcols = np.concatenate([cols, np.zeros(maxp, np.int32)])
         return _scanned_direction(
-            score_all_fn, score_fn, dec_params, z, chunk, maxp,
+            score_all_fn, score_fn, dec_params, z, chunk,
             anchors_p.reshape(n_chunks, chunk),
             rels_p.reshape(n_chunks, chunk),
             targets_p.reshape(n_chunks, chunk),
-            valid.reshape(n_chunks, chunk), frows, fcols, offs, cnts,
-            mesh=mesh)[:num]
+            valid.reshape(n_chunks, chunk),
+            anchors_p, rels_p, rowg, cols, bounds, mesh=mesh)[:num]
 
     score_all = jax.jit(score_all_fn)
     score_one = jax.jit(score_fn)
@@ -222,72 +222,175 @@ def _direction_ranks(score_all_fn, score_fn, dec_params, z, anchors, rels,
     return np.concatenate(ranks)[:num]
 
 
-def _scanned_direction(score_all_fn, score_fn, dec_params, z, chunk, maxp,
-                       anchors2, rels2, targets2, valid2, frows, fcols,
-                       offs, cnts, mesh=None) -> np.ndarray:
-    """All chunks of one direction in ONE jitted lax.scan dispatch.
+# pair-tile width for the filter-correction scan: small enough that the
+# per-tile working set (a few (PT,) int32/fp32 vectors + a (PT, d) score
+# gather) tiles cleanly, large enough to amortize scan overhead
+_PAIR_TILE = 1 << 16
 
-    With ``mesh``: the chunk axis is sharded over every mesh device via
-    shard_map (z / decoder params / the flat filter-pair table are
-    replicated — ranking is embarrassingly parallel over triples, SURVEY
-    §2.9 NCCL row); each device scans its contiguous chunk block and the
-    gathered output preserves order."""
 
-    def run(dec_params, z, A, R, T, V, frows, fcols, offs, cnts):
-        n = z.shape[0]
+def _scanned_direction(score_all_fn, score_fn, dec_params, z, chunk,
+                       anchors2, rels2, targets2, valid2, anchors_f,
+                       rels_f, rowg, cols, bounds,
+                       mesh=None) -> np.ndarray:
+    """One direction in TWO jitted lax.scan dispatches.
 
-        def body(_, xs):
-            a, r, t, v, off, cnt = xs
-            ts = score_fn(dec_params, z, a, t, r)
-            s = score_all_fn(dec_params, z, a, r)
-            hi = jnp.sum((s > ts[:, None]).astype(jnp.float32), axis=1)
-            ti = jnp.sum((s == ts[:, None]).astype(jnp.float32), axis=1)
-            pr = jax.lax.dynamic_slice(frows, (off,), (maxp,))
-            pc = jax.lax.dynamic_slice(fcols, (off,), (maxp,))
-            ok = (jnp.arange(maxp, dtype=jnp.int32)
-                  < cnt).astype(jnp.float32)
-            vals = jnp.take(s.reshape(-1), pr * n + pc, mode="clip")
-            tsp = jnp.take(ts, pr, mode="clip")
-            fh = jax.ops.segment_sum((vals > tsp) * ok, pr,
-                                     num_segments=chunk)
-            fe = jax.ops.segment_sum((vals == tsp) * ok, pr,
-                                     num_segments=chunk)
-            rank = 1.0 + (hi - fh) + 0.5 * (ti - fe)
-            return None, jnp.where(v, rank, 0.0)
+    Scan 1 (over triple chunks): per-row ALL-candidate comparison counts
+    — a (chunk, N) score matmul per step (MXU) plus row reductions.
 
-        _, ranks = jax.lax.scan(body, None, (A, R, T, V, offs, cnts))
-        return ranks.reshape(-1)
+    Scan 2 (over fixed-width pair tiles): the filtered-candidate
+    corrections. Earlier designs indexed the per-chunk score matrix at
+    the filter pairs, padding every chunk to the GLOBAL max pair count —
+    but at PrimeKG++ scale one hub (h, r) key holds ~1M known targets,
+    and both reduction forms hit XLA pathologies at that width
+    (segment_sum: colliding-scatter serialization, 29.7 s/direction
+    chip-measured; associative_scan at 2^20: 92 s). Instead the flat
+    pair table is cut into 2^16-wide tiles; each tile RE-SCORES its
+    pairs directly with ``score_fn`` (gather + elementwise + row-sum —
+    no dependence on scan 1's transient matrix), prefix-sums the
+    comparison flags (int32, exact), and every row accumulates
+    P[hi]-P[lo] over its boundary window clamped to the tile — a dense
+    (num_pad,) vector add, no scatter anywhere. Work ∝ real pairs.
 
-    if mesh is None:
-        fn = jax.jit(run)
-    else:
+    Tie consistency: each pass compares LIKE against LIKE. Scan 1 takes
+    the true score out of its own score matrix (take_along_axis), so the
+    self-tie and any exact-duplicate candidate tie bitwise. Scan 2
+    scores each pair's TRUE counterpart in the same tile batch as the
+    pair itself — same op at the same shape, so the self-pair correction
+    ties bitwise too — and the two cancel exactly in ``ti - fe``.
+    Cross-computation ulp skew (matmul reduction order vs elementwise
+    dot) can only affect a filtered non-duplicate candidate landing
+    within 1 ulp of the true score — measure-zero for continuous
+    embeddings. (Two earlier drafts measured the cost of weaker
+    invariants: comparing scan 2's re-scores against scan 1's
+    ``score_fn`` true score skewed MRR 5% — ``score_fn`` at chunk shape
+    and at tile shape compile to different reduction orders, so "same
+    function, same inputs" is NOT bitwise across batch shapes.)
+
+    With ``mesh``: scan 1 shards the chunk axis, scan 2 the tile axis
+    (z / decoder params / row vectors replicated; per-row corrections
+    psum across devices — ranking is embarrassingly parallel, SURVEY
+    §2.9 NCCL row)."""
+    num_pad = anchors2.size
+    total = len(rowg)
+    n_dev = 1
+    specs = None
+    if mesh is not None:
         from jax.sharding import PartitionSpec as P
 
         from biomedkg_tpu.parallel.dp import shard_map
 
+        n_dev = int(np.prod(list(mesh.shape.values())))
         axes = tuple(mesh.axis_names)
-        sh, rep = P(axes), P()
-        fn = jax.jit(shard_map(
-            run, mesh=mesh,
-            in_specs=(rep, rep, sh, sh, sh, sh, rep, rep, sh, sh),
-            out_specs=sh))
+        specs = (P(axes), P())
+
+    def run_chunks(dec_params, z, A, R, T, V):
+        def body(_, xs):
+            a, r, t, v = xs
+            s = score_all_fn(dec_params, z, a, r)
+            # true score from the matrix ITSELF: self/duplicate ties are
+            # bitwise (see docstring); score_fn lives in scan 2 only
+            ts = jnp.take_along_axis(s, t[:, None], axis=1)[:, 0]
+            hi = jnp.sum((s > ts[:, None]).astype(jnp.float32), axis=1)
+            ti = jnp.sum((s == ts[:, None]).astype(jnp.float32), axis=1)
+            return None, (hi, ti, jnp.where(v, 1.0, 0.0))
+
+        _, (hi, ti, vm) = jax.lax.scan(body, None, (A, R, T, V))
+        return hi.reshape(-1), ti.reshape(-1), vm.reshape(-1)
+
+    def run_pairs(dec_params, z, af, rf, tf, blo, bhi, prow, pcol, toff):
+        def body(acc, xs):
+            prow_t, pcol_t, off = xs
+            a = jnp.take(af, prow_t, mode="clip")
+            r = jnp.take(rf, prow_t, mode="clip")
+            vals = score_fn(dec_params, z, a, pcol_t, r)
+            # true-pair scores at the SAME batch shape as the candidate
+            # pairs — identical codegen ⇒ the self-pair ties bitwise
+            tsp = score_fn(dec_params, z, a,
+                           jnp.take(tf, prow_t, mode="clip"), r)
+            # int32 prefix sums stay exact past fp32's 2^24 flag
+            # ceiling; associative_scan, NOT jnp.cumsum (reduce_window
+            # lowering is quadratic at these widths)
+            ph = jnp.concatenate([
+                jnp.zeros(1, jnp.int32),
+                jax.lax.associative_scan(
+                    jnp.add, (vals > tsp).astype(jnp.int32))])
+            pe = jnp.concatenate([
+                jnp.zeros(1, jnp.int32),
+                jax.lax.associative_scan(
+                    jnp.add, (vals == tsp).astype(jnp.int32))])
+            lo = jnp.clip(blo - off, 0, _PAIR_TILE)
+            hi = jnp.clip(bhi - off, 0, _PAIR_TILE)
+            fh = jnp.take(ph, hi) - jnp.take(ph, lo)
+            fe = jnp.take(pe, hi) - jnp.take(pe, lo)
+            return (acc[0] + fh.astype(jnp.float32),
+                    acc[1] + fe.astype(jnp.float32)), None
+
+        acc0 = (jnp.zeros(af.shape[0], jnp.float32),
+                jnp.zeros(af.shape[0], jnp.float32))
+        (fh, fe), _ = jax.lax.scan(body, acc0, (prow, pcol, toff))
+        if mesh is not None:
+            fh = jax.lax.psum(fh, specs[0][0])
+            fe = jax.lax.psum(fe, specs[0][0])
+        return fh, fe
+
+    if mesh is None:
+        fn1, fn2 = jax.jit(run_chunks), jax.jit(run_pairs)
+    else:
+        sh, rep = specs
+        fn1 = jax.jit(shard_map(
+            run_chunks, mesh=mesh,
+            in_specs=(rep, rep, sh, sh, sh, sh), out_specs=(sh,) * 3))
+        fn2 = jax.jit(shard_map(
+            run_pairs, mesh=mesh,
+            in_specs=(rep, rep, rep, rep, rep, rep, rep, sh, sh, sh),
+            out_specs=(rep, rep)))
+
+    # pad the pair table to whole tiles (pad pairs live past every row's
+    # boundary window, so their flags are never gathered); tile count a
+    # multiple of the device count for the sharded scan
+    n_tiles = max(1, -(-total // _PAIR_TILE))
+    n_tiles = -(-n_tiles // n_dev) * n_dev
+    padded = n_tiles * _PAIR_TILE
+    prow = np.zeros(padded, np.int32)
+    prow[:total] = rowg
+    pcol = np.zeros(padded, np.int32)
+    pcol[:total] = cols
+    toff = np.arange(n_tiles, dtype=np.int32) * _PAIR_TILE
+
     t0 = time.time()
-    args = (dec_params, z, jnp.asarray(anchors2), jnp.asarray(rels2),
-            jnp.asarray(targets2), jnp.asarray(valid2),
-            jnp.asarray(frows), jnp.asarray(fcols), jnp.asarray(offs),
-            jnp.asarray(cnts))
-    jax.block_until_ready(args)
+    args1 = (dec_params, z, jnp.asarray(anchors2), jnp.asarray(rels2),
+             jnp.asarray(targets2), jnp.asarray(valid2))
+    args2_tail = (jnp.asarray(anchors_f.astype(np.int32)),
+                  jnp.asarray(rels_f.astype(np.int32)),
+                  jnp.asarray(bounds[:-1]), jnp.asarray(bounds[1:]),
+                  jnp.asarray(prow.reshape(n_tiles, _PAIR_TILE)),
+                  jnp.asarray(pcol.reshape(n_tiles, _PAIR_TILE)),
+                  jnp.asarray(toff))
+    jax.block_until_ready((args1, args2_tail))
     _tlog(f"upload: {time.time() - t0:.2f}s "
-          f"(pairs {(len(frows) + len(fcols)) * 4 / 2**20:.1f} MiB)")
-    if _TIMING:
+          f"(pairs {2 * padded * 4 / 2**20:.1f} MiB, {n_tiles} tiles)")
+
+    def timed(tag, f, *a):
+        if not _TIMING:
+            return f(*a)
         t0 = time.time()
-        compiled = fn.lower(*args).compile()
-        _tlog(f"compile: {time.time() - t0:.2f}s")
+        compiled = f.lower(*a).compile()
+        _tlog(f"compile {tag}: {time.time() - t0:.2f}s")
         t0 = time.time()
-        out = np.asarray(compiled(*args))
-        _tlog(f"execute: {time.time() - t0:.2f}s")
+        out = compiled(*a)
+        # device_get, not block_until_ready: the tunneled-TPU plugin's
+        # block_until_ready returns before execution finishes — only a
+        # D2H actually synchronizes (outputs here are small row vectors)
+        jax.device_get(out)
+        _tlog(f"execute {tag}: {time.time() - t0:.2f}s")
         return out
-    return np.asarray(fn(*args))
+
+    hi, ti, vm = timed("chunks", fn1, *args1)
+    tf = jnp.asarray(np.asarray(targets2).reshape(-1).astype(np.int32))
+    fh, fe = timed("pairs", fn2, dec_params, z, args2_tail[0],
+                   args2_tail[1], tf, *args2_tail[2:])
+    rank = 1.0 + (hi - fh) + 0.5 * (ti - fe)
+    return np.asarray(jnp.where(vm > 0, rank, 0.0))
 
 
 def filtered_ranking_metrics(decoder, dec_params, z,
@@ -321,23 +424,33 @@ def filtered_ranking_metrics(decoder, dec_params, z,
     _tlog(f"build filters: {time.time() - t0:.2f}s "
           f"({len(all_triples)} known triples)")
 
+    t0 = time.time()
+    z = jnp.asarray(z)
+    jax.block_until_ready(z)
+    _tlog(f"z upload: {time.time() - t0:.2f}s "
+          f"({z.size * z.dtype.itemsize / 2**20:.0f} MiB)")
+
     def tails_fn(p, zz, h, t, r):
         return decoder.score(p, zz, h, t, r)
 
+    t0 = time.time()
     tail_ranks = _direction_ranks(
         decoder.score_all_tails, tails_fn, dec_params, z,
         test_triples[:, 0], test_triples[:, 1], test_triples[:, 2],
         tail_filter, chunk, num_keys, mesh=mesh)
+    _tlog(f"tail direction total: {time.time() - t0:.2f}s")
 
     ranks = [tail_ranks]
     if both_sides:
         def heads_fn(p, zz, t, h, r):
             return decoder.score(p, zz, h, t, r)
 
+        t0 = time.time()
         head_ranks = _direction_ranks(
             decoder.score_all_heads, heads_fn, dec_params, z,
             test_triples[:, 2], test_triples[:, 1], test_triples[:, 0],
             head_filter, chunk, num_keys, mesh=mesh)
+        _tlog(f"head direction total: {time.time() - t0:.2f}s")
         ranks.append(head_ranks)
 
     all_ranks = np.concatenate(ranks)
