@@ -118,8 +118,13 @@ class KGEScorer:
                                     jnp.asarray(padded[0]),
                                     jnp.asarray(padded[1]),
                                     jnp.asarray(padded[2]))
-            out.extend(np.asarray(jax.nn.sigmoid(logits[:n]),
-                                  np.float64).tolist())
+            # sigmoid + unpad on HOST: device-side ``logits[:n]`` bakes
+            # the un-padded length into the program, so a batching
+            # server compiles a fresh slice kernel for every distinct
+            # arrival count (~0.5 s each over a tunneled chip — measured
+            # p50 1.3 s at 100 qps offered; host unpad: p50 ~30 ms)
+            lg = np.asarray(logits, np.float64)[:n]
+            out.extend((1.0 / (1.0 + np.exp(-lg))).tolist())
         return out
 
     def topk_tails(self, head: str, relation: str,

@@ -88,6 +88,14 @@ def batch_sweep(scorer, queries):
     return rows
 
 
+def warm_buckets(scorer, queries):
+    """Compile every score_many pad bucket a drain-the-queue server can
+    hit (64..1024) — production servers warm these at startup; a cold
+    bucket compile over the tunnel is ~1-3 s and poisons short runs."""
+    for b in (1, 64, 128, 256, 512, 1024):
+        scorer.score_many((queries * ((b // len(queries)) + 1))[:b])
+
+
 def load_test(scorer, queries, offered_qps, secs):
     """Open-loop: Poisson arrivals at ``offered_qps`` into a batching
     server that drains the queue (max 1024) per dispatch. Returns
@@ -167,6 +175,7 @@ def main():
 
     batch_sweep(scorer, queries)
 
+    warm_buckets(scorer, queries)
     print("\n[load test]  offered    achieved   p50 ms   p99 ms"
           "   mean B   dispatches", flush=True)
     for offered in (100, 500, 2000, 8000, 20000):
