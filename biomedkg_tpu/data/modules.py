@@ -15,6 +15,7 @@ GraphBatch iterators instead of PyG loaders:
 
 from __future__ import annotations
 
+import os
 from typing import List, Optional
 
 import numpy as np
@@ -51,10 +52,17 @@ class _BaseModule:
     SAINT_EVAL_STEPS = 100
     FANOUTS = [30, 30, 30]
 
+
     def __init__(self, batch_size: int, val_ratio: float, test_ratio: float,
                  seed: int = 42, block_size: int = 256,
                  unseen_node_ratio: float = 0.0,
                  unseen_node_types: Optional[List[str]] = None):
+        # smoke-test knob only (scripts/pipeline_full.py --tiny on 1-core
+        # CPU): production keeps the reference's 1000-step SAINT epochs
+        steps = os.environ.get("BIOMEDKG_SAINT_STEPS")
+        if steps:
+            self.SAINT_TRAIN_STEPS = int(steps)
+            self.SAINT_EVAL_STEPS = max(1, int(steps) // 10)
         self.batch_size = batch_size
         self.val_ratio = val_ratio
         self.test_ratio = test_ratio

@@ -180,7 +180,13 @@ class GCLEncode(_PickleCacheEncode):
             data = dm.PrimeKGModule(
                 data_dir="./data/primekg", embed_dim=768,
                 node_type=[full_type], batch_size=128, val_ratio=0.2,
-                test_ratio=0.2, node_init_method="lm")
+                test_ratio=0.2, node_init_method="lm",
+                # Stage-B checkpoints were trained against whatever
+                # modality config the run used; non-default runs (e.g.
+                # scripts/pipeline_full.py) pass it through the env
+                modality_config_path=os.environ.get(
+                    "BIOMEDKG_MODALITY_CONFIG",
+                    "configs/lm_modality/primekg_modality.yaml"))
             data.setup(stage="split")
 
             # One full-graph forward replaces the reference's

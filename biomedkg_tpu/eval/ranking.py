@@ -134,6 +134,24 @@ def _filter_counts(scores, true_scores, rows, cols, pair_valid):
     return higher, ties
 
 
+def _f32_matmuls(fn):
+    """Trace ``fn`` under full-f32 matmul precision.
+
+    On TPU the DEFAULT matmul precision truncates f32 operands to bf16
+    (one MXU pass), so scan 1's (chunk, N) score matmul and scan 2's
+    elementwise f32 re-score disagreed at bf16-error level — far past
+    the ulp skew the tie-cancellation argument tolerates. Chip-measured
+    (scripts/diag_rank_inf.py): 19/20000 tail ranks < 1 (min −3, true
+    rank 1) and all-candidate counts off by ~±12 at rank ~12k. HIGHEST
+    precision restores exact-f32 products in the matmul; the remaining
+    cross-computation skew (reduction order) is back to last-ulp,
+    measure-zero for trained continuous embeddings."""
+    def wrapped(*a, **k):
+        with jax.default_matmul_precision("float32"):
+            return fn(*a, **k)
+    return wrapped
+
+
 def _direction_ranks(score_all_fn, score_fn, dec_params, z, anchors, rels,
                      targets, filt, chunk: int, num_keys: int,
                      mesh=None) -> np.ndarray:
@@ -142,6 +160,8 @@ def _direction_ranks(score_all_fn, score_fn, dec_params, z, anchors, rels,
     fit device memory. With ``mesh`` the chunks are sharded data-parallel
     over the mesh's devices (ranking is embarrassingly parallel over
     triples) via shard_map."""
+    score_all_fn = _f32_matmuls(score_all_fn)
+    score_fn = _f32_matmuls(score_fn)
     num = len(anchors)
     # the filter gathers index the (chunk, N) score matrix FLAT in int32
     # (x64 disabled): keep chunk*N < 2^31 or the index wraps negative and
@@ -175,7 +195,6 @@ def _direction_ranks(score_all_fn, score_fn, dec_params, z, anchors, rels,
             anchors_p, rels_p, rowg, cols, bounds, mesh=mesh)[:num]
 
     score_all = jax.jit(score_all_fn)
-    score_one = jax.jit(score_fn)
 
     ranks = []
     for ci, lo in enumerate(range(0, num_pad, chunk)):
@@ -184,9 +203,13 @@ def _direction_ranks(score_all_fn, score_fn, dec_params, z, anchors, rels,
         t = targets_p[lo:lo + chunk]
         v = valid[lo:lo + chunk]
 
-        true_s = score_one(dec_params, z, jnp.asarray(a), jnp.asarray(t),
-                           jnp.asarray(r))
         scores = score_all(dec_params, z, jnp.asarray(a), jnp.asarray(r))
+        # true score from the matrix ITSELF (not score_fn): every
+        # comparison in this path — _total_counts and the _filter_counts
+        # gathers — then reads the same computed values, so the self tie
+        # and duplicate ties are bitwise regardless of matmul precision
+        true_s = jnp.take_along_axis(scores, jnp.asarray(t)[:, None],
+                                     axis=1)[:, 0]
 
         # the pre-built per-chunk filter pairs, padded to a FIXED bucket
         # ladder (≤ len(ladder) compiled count programs; variable shapes
@@ -216,7 +239,7 @@ def _direction_ranks(score_all_fn, score_fn, dec_params, z, anchors, rels,
                                         jnp.asarray(ok))
                 higher = higher - fh
                 ties = ties - ft
-        rank = 1.0 + higher + 0.5 * ties
+        rank = jnp.maximum(1.0 + higher + 0.5 * ties, 1.0)
         ranks.append(np.asarray(
             jnp.where(jnp.asarray(v), rank, 0.0)))
     return np.concatenate(ranks)[:num]
@@ -389,7 +412,11 @@ def _scanned_direction(score_all_fn, score_fn, dec_params, z, chunk,
     tf = jnp.asarray(np.asarray(targets2).reshape(-1).astype(np.int32))
     fh, fe = timed("pairs", fn2, dec_params, z, args2_tail[0],
                    args2_tail[1], tf, *args2_tail[2:])
-    rank = 1.0 + (hi - fh) + 0.5 * (ti - fe)
+    # floor at 1: the true entity always ranks ≥ 1; a residual last-ulp
+    # disagreement between the scan-1 matmul and a scan-2 re-score of a
+    # candidate EXACTLY tied with the true score could otherwise push a
+    # rank-1 triple to 0 and blow up mean(1/rank)
+    rank = jnp.maximum(1.0 + (hi - fh) + 0.5 * (ti - fe), 1.0)
     return np.asarray(jnp.where(vm > 0, rank, 0.0))
 
 

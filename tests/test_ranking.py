@@ -76,6 +76,50 @@ def test_mesh_sharded_ranking_matches_single_device(rng):
                                     err_msg=k)
 
 
+def test_rank_floor_survives_cross_path_score_skew():
+    """Regression (round 5, chip-diagnosed): on TPU the default matmul
+    precision truncates f32 operands to bf16, so scan 1's (chunk, N)
+    score matmul disagreed with scan 2's elementwise re-scores by more
+    than an ulp; the filter correction over-subtracted and 19/20000
+    ranks came back < 1 (min −3) → mean(1/rank) = inf. The fix pins
+    matmul precision to f32 AND floors ranks at 1 for residual last-ulp
+    ties. This stub decoder reproduces the skew deterministically: its
+    batched path scores every candidate 1e-3 LOWER than its elementwise
+    path, so every filtered pair counts as "higher" in the correction —
+    the floor must keep ranks ≥ 1 and MRR finite on any backend."""
+    import jax.numpy as jnp
+
+    N, R, D = 12, 2, 4
+    base = np.linspace(0.0, 1.0, N * R * N, dtype=np.float32)
+
+    class SkewedDecoder:
+        def _score(self, h, t, r, skew):
+            idx = (h * R + r) * N + t
+            return jnp.take(jnp.asarray(base), idx) - skew
+
+        def score(self, params, z, h, t, r):
+            return self._score(h, t, r, 0.0)
+
+        def score_all_tails(self, params, z, h, r):
+            cand = jnp.arange(N)
+            return self._score(h[:, None], cand[None, :], r[:, None], 1e-3)
+
+        def score_all_heads(self, params, z, t, r):
+            cand = jnp.arange(N)
+            return self._score(cand[None, :], t[:, None], r[:, None], 1e-3)
+
+    rng = np.random.default_rng(0)
+    all_triples = np.unique(rng.integers(0, [N, R, N], size=(80, 3)),
+                            axis=0)
+    test = all_triples[:12]
+    metrics = filtered_ranking_metrics(SkewedDecoder(), {},
+                                       np.zeros((N, D), np.float32),
+                                       test, all_triples, chunk=4)
+    assert np.isfinite(metrics["mrr"])
+    assert 0.0 < metrics["mrr"] <= 1.0
+    assert metrics["mean_rank"] >= 1.0
+
+
 def test_perfect_model_gets_mrr_one():
     """Orthogonal embeddings + self-loop triples: the true entity scores 1,
     every other candidate 0 → rank 1 everywhere → MRR = Hits@1 = 1."""
