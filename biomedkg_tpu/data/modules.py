@@ -52,7 +52,6 @@ class _BaseModule:
     SAINT_EVAL_STEPS = 100
     FANOUTS = [30, 30, 30]
 
-
     def __init__(self, batch_size: int, val_ratio: float, test_ratio: float,
                  seed: int = 42, block_size: int = 256,
                  unseen_node_ratio: float = 0.0,
