@@ -173,6 +173,18 @@ def summarize(recs, key):
     return f"{np.nanmean(vals):.4f}±{np.nanstd(vals):.4f}"
 
 
+def _done_keys():
+    """(decoder, seed, plan, fill) tuples already recorded — reruns skip
+    them, so an interrupted matrix resumes where it left off."""
+    done = set()
+    if os.path.exists(OUT):
+        with open(OUT) as f:
+            for line in f:
+                r = json.loads(line)
+                done.add((r["decoder"], r["seed"], r["plan"], r["fill"]))
+    return done
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--legs", default="matrix,sorted2,hybrid,fill")
@@ -182,18 +194,60 @@ def main():
     ap.add_argument("--decoders",
                     default="dismult,complex,transe,rotate")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--inproc", action="store_true",
+                    help="run every entry in THIS process (debug only: "
+                    "jit caches/buffers accumulate ~5 GB per entry — a "
+                    "23-entry in-process sweep was host-OOM-killed at "
+                    "130 GB RSS)")
+    ap.add_argument("--one", nargs=4, metavar=("DEC", "SEED", "PLAN",
+                                               "FILL"),
+                    help="internal: run a single entry and exit "
+                    "(PLAN 'sorted2->sorted'; FILL 'none' or a float)")
     args = ap.parse_args()
     if args.cpu:
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+    if args.one:
+        dec, seed, plan, fill = args.one
+        run_one(dec, int(seed), args.epochs, tuple(plan.split("->")),
+                None if fill == "none" else float(fill),
+                args.mrr_triples)
+        return
     legs = args.legs.split(",")
     seeds = list(range(args.seeds))
     groups = {}
+    done = _done_keys()
+
+    def run_sub(decoder, s, plan, fill):
+        import subprocess
+
+        key = (decoder, s, "->".join(plan), fill)
+        if key in done:
+            print(f"[skip] {key} already in {OUT}", flush=True)
+            return None
+        cmd = [sys.executable, __file__, "--one", decoder, str(s),
+               "->".join(plan), "none" if fill is None else str(fill),
+               "--epochs", str(args.epochs),
+               "--mrr-triples", str(args.mrr_triples)]
+        if args.cpu:
+            cmd.append("--cpu")
+        subprocess.run(cmd, check=True)
+        return None
 
     def do(tag, decoder, plan, fill):
-        recs = [run_one(decoder, s, args.epochs, plan, fill,
-                        args.mrr_triples) for s in seeds]
+        if args.inproc:
+            recs = [run_one(decoder, s, args.epochs, plan, fill,
+                            args.mrr_triples) for s in seeds]
+        else:
+            for s in seeds:
+                run_sub(decoder, s, plan, fill)
+            with open(OUT) as f:
+                allr = [json.loads(x) for x in f]
+            recs = [r for r in allr
+                    if (r["decoder"], r["plan"], r["fill"])
+                    == (decoder, "->".join(plan), fill)
+                    and r["seed"] in seeds]
         groups[tag] = recs
 
     if "matrix" in legs:
