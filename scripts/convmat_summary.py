@@ -83,6 +83,10 @@ def main():
             continue
         e = np.array([epochs_to(r, TARGET_AUROC) for r in recs], float)
         w = np.array([r["train_wall_s"] / r["epochs"] for r in recs])
+        if np.isnan(e).all():
+            print(f"  {tag:>24s}: never within {recs[0]['epochs']} epochs "
+                  f"({w.mean():.0f}s/epoch)")
+            continue
         print(f"  {tag:>24s}: {np.nanmean(e):.2f} epochs "
               f"(~{np.nanmean(e) * w.mean():.0f}s at this leg's "
               f"{w.mean():.0f}s/epoch)")

@@ -418,3 +418,25 @@ def test_trainer_devices_dp_scan_fusion(graph):
     # 4 optimizer steps; 4-batch tail dropped
     assert trainer.global_step == 4, trainer.global_step
     assert np.isfinite(trainer.history[-1]["train_loss_epoch"])
+
+
+def test_trainer_devices_string_forms():
+    """Lightning accepts ``devices`` as int-string ("2"), "auto", and the
+    comma-id string the reference's default config ships ("0,1",
+    configs/kge.yaml `devices: 0,1` — OmegaConf loads it as a str).
+    Round-5 regression: the comma form crashed int() in _resolve_dp."""
+    from biomedkg_tpu.training.trainer import Trainer
+
+    def resolve(d):
+        tr = Trainer(max_epochs=1, devices=d)
+        n, devs = tr._resolve_dp()
+        return n, [dv.id for dv in devs]
+
+    assert resolve("0,1") == (2, [0, 1])
+    assert resolve("0,")[0] == 1              # trailing comma tolerated
+    assert resolve("2") == (2, [0, 1])        # int-string = count
+    assert resolve("auto")[0] == 8            # conftest virtual mesh
+    # out-of-range ids in the comma form warn and are dropped
+    with pytest.warns(UserWarning, match="don't exist"):
+        n, ids = resolve("0,99")
+    assert (n, ids) == (1, [0])
